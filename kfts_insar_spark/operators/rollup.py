@@ -1,0 +1,127 @@
+"""Retention-tier rollups: raw (300 s) → 1 h → 1 d continuous aggregates.
+
+The reference's per-pixel outputs are summarized post-hoc by grouped
+aggregations (RMS/mean maps, /root/reference/kf2rms.py:143-154 and
+checkinnov.py:94-107). This module recasts that summarize-by-group stage as
+cascaded time-bucket rollups over the token-sequence table (SURVEY.md §2.4 A9):
+
+- raw tier:  groupBy(source, 300 s bucket)  — partial agg map-side, one shuffle
+- 1 h tier:  derived FROM the raw tier (not from the base table) — at 100 TB the
+  raw tier is ~3 orders of magnitude smaller than the base table, so cascading
+  turns a full re-scan into a metadata-scale job (continuous-aggregate pattern)
+- 1 d tier:  derived from the 1 h tier, same reasoning.
+
+All aggregates here are algebraic (sum/count/min/max decompose into partials),
+which is what makes the cascade EXACT, not approximate: sum of sums == sum,
+min of mins == min. avg is derived at read time as sum/count. Tests assert
+cascade(raw→1h→1d) == direct(base→1d) row-for-row (FIXTURES.md F4).
+
+Scale notes (100 TB / 10^12 rows):
+- one wide shuffle on (source, bucket) for the raw tier; `source` has ~5
+  values → heavily skewed keys, so the raw rollup groups on a SALTED key
+  first and merges partials (two-stage agg). See `rollup_raw`.
+- Spark already does map-side partial aggregation (HashAggregate partial →
+  final), which absorbs most skew for algebraic aggs; the explicit salt stage
+  matters when per-key cardinality within a task still overflows the hash map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RAW_SECONDS = 300
+HOUR_SECONDS = 3600
+DAY_SECONDS = 86400
+
+def _aggs():
+    # built lazily: Column construction requires an active SparkSession
+    return [
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tok").cast("int").alias("min_tok"),
+        F.max("n_tok").cast("int").alias("max_tok"),
+    ]
+
+TIER_COLS = ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"]
+
+
+def bucket(es_col, width: int):
+    """Tumbling-window floor on epoch seconds (integer-exact, TZ-free)."""
+    return (F.floor(F.col(es_col) / F.lit(width)) * F.lit(width)).cast("long")
+
+
+def rollup_raw(seq: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Base table → raw (300 s) tier.
+
+    With ``salt_buckets > 0`` the aggregation runs in two stages over
+    (source, bucket, salt) then (source, bucket) — the explicit skew treatment
+    demanded by BASELINE.json north_rule ("hash on doc_id with salting for
+    skewed sources"). Salt derives from doc_id hash → deterministic.
+    """
+    base = seq.select(
+        F.col("source"),
+        bucket("ingest_es", RAW_SECONDS).alias("bucket_es"),
+        F.col("n_tok"),
+        F.col("doc_id"),
+    )
+    if salt_buckets > 0:
+        partial = (
+            base.withColumn(
+                "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+            )
+            .groupBy("source", "bucket_es", "salt")
+            .agg(*_aggs())
+        )
+        out = partial.groupBy("source", "bucket_es").agg(
+            F.sum("sum_tok").cast("long").alias("sum_tok"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.min("min_tok").cast("int").alias("min_tok"),
+            F.max("max_tok").cast("int").alias("max_tok"),
+        )
+    else:
+        out = base.groupBy("source", "bucket_es").agg(*_aggs())
+    return out.select(*TIER_COLS)
+
+
+def rollup_cascade(tier: DataFrame, width: int) -> DataFrame:
+    """Finer tier → coarser tier (raw→1h, 1h→1d). Exact for algebraic aggs."""
+    return (
+        tier.groupBy(
+            "source", bucket("bucket_es", width).alias("bucket_es")
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_tok").cast("long").alias("sum_tok"),
+            F.min("min_tok").cast("int").alias("min_tok"),
+            F.max("max_tok").cast("int").alias("max_tok"),
+        )
+        .select(*TIER_COLS)
+    )
+
+
+def rollup_direct(seq: DataFrame, width: int) -> DataFrame:
+    """Base table → arbitrary tier in one pass (oracle for cascade equality)."""
+    return (
+        seq.select(
+            "source", bucket("ingest_es", width).alias("bucket_es"), "n_tok"
+        )
+        .groupBy("source", "bucket_es")
+        .agg(*_aggs())
+        .select(*TIER_COLS)
+    )
+
+
+def tier_sql(inner_sql: str, width: int) -> str:
+    """DuckDB oracle for :func:`rollup_direct` over a sequences CTE body."""
+    return f"""
+WITH seq AS ({inner_sql})
+SELECT source,
+       CAST((ingest_es // {width}) * {width} AS BIGINT) AS bucket_es,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(min(n_tok) AS INT)   AS min_tok,
+       CAST(max(n_tok) AS INT)   AS max_tok
+FROM seq
+GROUP BY 1, 2
+"""

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Local-mode testing stands in for a multi-executor cluster; every knob here is
+chosen so the *same plan* is the one we'd want on 1000 executors:
+AQE on (runtime coalesce + skew-join splitting), shuffle partitions sized to
+parallelism (not the 200 default), Arrow enabled for every pandas-UDF exchange,
+UTC session time so results are reproducible against the DuckDB oracle.
+
+Reference analogue: the MPI rank split in /root/reference/kf/readinput.py:166-212
+(`dividepxls`) hand-rolls what `repartition` + AQE give us for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "kfts_insar_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` → ``local[*]``. On a real cluster this builder is bypassed
+    by ``spark-submit`` conf; everything here is also safe to set cluster-side.
+    """
+    if cores is None:
+        env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env_cores}]" if env_cores else "local[*]"
+        n = int(env_cores) if env_cores else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+
+    sp = shuffle_partitions or max(DEFAULT_SHUFFLE_PARTITIONS, n)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # deterministic float semantics; ANSI off so overflow/div0 match the
+        # legacy semantics the oracle arithmetic assumes (we never rely on
+        # either, but a hard error mid-benchmark is worse than a null)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,142 @@
+"""Deterministic synthetic `sequences` generator — oracle-replayable.
+
+The 10^12-sequence Iceberg token table (BASELINE.json north_star) is stood in
+for by a generator whose every column derives from the row index through pure
+64-bit integer arithmetic (a MINSTD Lehmer chain: x -> x*48271 mod 2^31-1).
+Both Spark and DuckDB evaluate this arithmetic bit-identically, so any query
+over the synthetic table is exactly checkable by the DuckDB oracle — the same
+role `synthetic_data.py` (seed 46, /root/reference/synthetic_data.py:48) plays
+for the reference's golden tests.
+
+Distribution properties required by FIXTURES.md F1:
+- token length in [8, 2048] with a long-tail (quadratic-skewed) distribution;
+- `n_tok == size(tokens)` invariant holds by construction and is asserted in
+  tests (BASELINE.json input_hint: per-row token-array equality);
+- `source` categorical {web, code, books, wiki, chat} with skewed weights
+  ~(0.55, 0.25, 0.10, 0.07, 0.03) — exercises salting;
+- ingest timestamps on a 300 s batch grid starting 2026-01-01T00:00:00Z with
+  deterministic holes (every 8th batch slot empty) — exercises gap-fill.
+
+Generation is `spark.range(n)` + Catalyst expressions only: no Python UDF, no
+driver-side data, fully parallel, O(n/cores) — the pattern scales to any n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# MINSTD Lehmer generator: full-period multiplicative LCG mod the Mersenne
+# prime 2^31-1. All intermediates < 2^62 → exact in int64 in Spark AND DuckDB.
+MINSTD_A = 48271
+MINSTD_M = 2147483647
+TOK_A = 2654435761  # Knuth multiplicative hash constant
+TOK_B = 40503
+VOCAB = 50257  # GPT-2-ish vocab size
+EPOCH0 = 1767225600  # 2026-01-01T00:00:00Z
+BATCH_SECONDS = 300
+DEFAULT_DOCS_PER_BATCH = 50
+
+
+def _lcg(x: Column) -> Column:
+    return (x * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+
+
+def n_batches(n_docs: int, docs_per_batch: int = DEFAULT_DOCS_PER_BATCH) -> int:
+    return max(1, n_docs // docs_per_batch)
+
+
+def sequences(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    docs_per_batch: int = DEFAULT_DOCS_PER_BATCH,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The synthetic `(doc_id, tokens, n_tok, source, ingest_*)` table."""
+    nb = n_batches(n_docs, docs_per_batch)
+    rng = spark.range(0, n_docs, 1, partitions) if partitions else spark.range(n_docs)
+    df = rng.select(F.col("id").alias("i"))
+
+    h1 = _lcg(F.col("i") + F.lit(1 + seed))
+    df = df.withColumn("h1", h1)
+    df = df.withColumn("h2", _lcg(F.col("h1")))
+    df = df.withColumn("h3", _lcg(F.col("h2")))
+
+    # quadratic-skewed length in [8, 2048]
+    lm = F.col("h1") % F.lit(2041)
+    df = df.withColumn("n_tok", (F.lit(8) + F.floor(lm * lm / F.lit(2041))).cast("int"))
+
+    p = F.col("h2") % F.lit(100)
+    source = (
+        F.when(p < 55, F.lit("web"))
+        .when(p < 80, F.lit("code"))
+        .when(p < 90, F.lit("books"))
+        .when(p < 97, F.lit("wiki"))
+        .otherwise(F.lit("chat"))
+    )
+
+    batch = F.col("h3") % F.lit(nb)
+    # stretch batch index so every 8th grid slot is empty (deterministic gaps)
+    slot = batch + F.floor(batch / F.lit(7))
+    ingest_es = (F.lit(EPOCH0) + slot * F.lit(BATCH_SECONDS)).cast("long")
+
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.col("n_tok") - 1),
+        lambda j: ((F.col("i") * F.lit(TOK_A) + j * F.lit(TOK_B)) % F.lit(VOCAB)).cast(
+            "int"
+        ),
+    )
+
+    return df.select(
+        F.concat(F.lit("doc"), F.lpad(F.col("i").cast("string"), 8, "0")).alias(
+            "doc_id"
+        ),
+        tokens.alias("tokens"),
+        F.col("n_tok"),
+        source.alias("source"),
+        ingest_es.alias("ingest_es"),
+        F.timestamp_seconds(ingest_es).alias("ingest_ts"),
+    )
+
+
+def sequences_sql(
+    n_docs: int,
+    seed: int = 42,
+    docs_per_batch: int = DEFAULT_DOCS_PER_BATCH,
+    with_tokens: bool = True,
+) -> str:
+    """DuckDB SQL replaying :func:`sequences` bit-for-bit (oracle side).
+
+    Returns a SELECT usable as a CTE body; columns mirror the Spark version
+    (minus `ingest_ts`, the bigint `ingest_es` is the comparison-safe axis).
+    """
+    nb = n_batches(n_docs, docs_per_batch)
+    tokens_sql = (
+        f", list_transform(range(0, n_tok), j -> CAST((i*{TOK_A} + j*{TOK_B}) % {VOCAB} AS INT)) AS tokens"
+        if with_tokens
+        else ""
+    )
+    return f"""
+SELECT
+  'doc' || lpad(CAST(i AS VARCHAR), 8, '0')                       AS doc_id,
+  n_tok,
+  CASE WHEN h2 % 100 < 55 THEN 'web'
+       WHEN h2 % 100 < 80 THEN 'code'
+       WHEN h2 % 100 < 90 THEN 'books'
+       WHEN h2 % 100 < 97 THEN 'wiki'
+       ELSE 'chat' END                                            AS source,
+  CAST({EPOCH0} + ((h3 % {nb}) + (h3 % {nb}) // 7) * {BATCH_SECONDS} AS BIGINT) AS ingest_es
+  {tokens_sql}
+FROM (
+  SELECT i, h1, h2, (h2 * {MINSTD_A}) % {MINSTD_M} AS h3,
+         CAST(8 + ((h1 % 2041) * (h1 % 2041)) // 2041 AS INT) AS n_tok
+  FROM (
+    SELECT i, h1, (h1 * {MINSTD_A}) % {MINSTD_M} AS h2
+    FROM (
+      SELECT i, ((i + {1 + seed}) * {MINSTD_A}) % {MINSTD_M} AS h1
+      FROM range(0, {n_docs}) t(i)
+    )
+  )
+)
+"""

@@ -1,0 +1,143 @@
+"""Golden checks for the Kalman kernel — the pytest re-expression of the
+reference's synthetic prediction/update test (BASELINE.json north_star;
+reference experiment: /root/reference/synthetic_data.py, seed 46 at :48).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kfts_insar_spark.functions.basis import basis_matrix, weighted_lsq
+from kfts_insar_spark.operators.kalman import (
+    KFConfig,
+    kalman_direct_batch,
+    kalman_direct_oracle,
+    kalman_gapfill,
+    kalman_pairs_doc,
+)
+
+MODEL = [("POLY", 1), ("SIN", 2 * np.pi), ("COS", 2 * np.pi), ("STEP", 1.5)]
+M = 92
+T = np.arange(M) * 12.0 / 365.25  # 92 epochs @ 12 days (synthetic_data.py:19-21)
+
+
+def make_series(n_docs: int, seed: int = 46, gap_frac: float = 0.2):
+    """Truth + noisy observations with gaps; model/params mirror
+    synthetic_data.py:35-36."""
+    rng = np.random.default_rng(seed)
+    bas = basis_matrix(MODEL, T)  # (M, L)
+    params = np.column_stack(
+        [
+            np.zeros(n_docs),  # offset (datum: phase_0 = 0)
+            rng.uniform(5, 15, n_docs),  # velocity
+            rng.uniform(2, 6, n_docs),  # sin amp
+            rng.uniform(2, 6, n_docs),  # cos amp
+            rng.uniform(10, 30, n_docs),  # step amp
+        ]
+    )
+    truth = params @ bas.T  # (B, M)
+    truth -= truth[:, :1]  # re-reference so phase at t0 is exactly 0
+    y = truth + rng.normal(0, 0.5, truth.shape)
+    y[:, 0] = 0.0
+    gaps = rng.random(truth.shape) < gap_frac
+    gaps[:, 0] = False
+    y[gaps] = np.nan
+    return truth, y, params, gaps
+
+
+CFG = KFConfig(model=MODEL, sig_y=1.0, sig_i=0.5, sig_a=30.0, t_sep=4)
+
+
+def test_batch_kernel_matches_dense_oracle():
+    """Blocked batch recursion == explicit dense A/Q/H oracle, bitwise-close."""
+    _, y, _, _ = make_series(7)
+    batch = kalman_direct_batch(y, T, CFG)
+    for b in range(y.shape[0]):
+        ora = kalman_direct_oracle(y[b], T, CFG)
+        np.testing.assert_allclose(batch["phase"][b], ora["phase"], rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(batch["std"][b], ora["std"], rtol=1e-9, atol=1e-9)
+        mask = np.isfinite(ora["innov"])
+        np.testing.assert_allclose(
+            batch["innov"][b][mask], ora["innov"][mask], rtol=1e-9, atol=1e-9
+        )
+        assert np.array_equal(np.isfinite(batch["innov"][b]), mask)
+        np.testing.assert_allclose(batch["m"][b], ora["m"], rtol=1e-9, atol=1e-9)
+
+
+def test_recovers_truth_and_params():
+    """Prediction/update correctness: recovered phases track truth; final
+    params close to generating params (the functional-model fit check)."""
+    truth, y, params, _ = make_series(20)
+    res = kalman_direct_batch(y, T, CFG)
+    rms = np.sqrt(np.nanmean((res["phase"] - truth) ** 2))
+    assert rms < 1.0  # noise σ=0.5, gaps 20% → sub-noise reconstruction
+    # velocity & step amplitude recovered
+    np.testing.assert_allclose(res["m"][:, 1], params[:, 1], atol=1.5)
+    np.testing.assert_allclose(res["m"][:, 4], params[:, 4], atol=2.5)
+
+
+def test_gapfill_forecasts_with_inflated_std():
+    """A gap step yields a model-driven forecast with larger σ than its
+    observed neighbors (reference kf/KF_class.py:280-283)."""
+    truth, y, _, gaps = make_series(10, gap_frac=0.25)
+    res = kalman_direct_batch(y, T, CFG)
+    assert np.isfinite(res["phase"]).all()
+    assert np.isnan(res["innov"][gaps]).all()
+    late = slice(20, M - 5)  # past the warmup
+    g, o = gaps[:, late], ~gaps[:, late]
+    assert res["std"][:, late][g].mean() > res["std"][:, late][o].mean()
+    # forecast still tracks truth through gaps
+    err = np.abs((res["phase"] - truth))[:, late][g]
+    assert np.median(err) < 2.0
+
+
+def test_weighted_lsq_recovers_params():
+    """find_coeff_lsq golden (kf/timefunction.py:248-272): exact recovery on
+    noise-free data, vectorized across docs."""
+    truth, _, params, _ = make_series(5, gap_frac=0.0)
+    m, merr = weighted_lsq(MODEL, T, truth, 0.5)
+    resid = truth - m @ basis_matrix(MODEL, T).T
+    np.testing.assert_allclose(resid, 0.0, atol=1e-8)
+    assert merr.shape == (CFG.L,)
+
+
+def test_pairs_mode_matches_direct_on_adjacent_pairs():
+    """With the edge list = all adjacent pairs (t_k−1, t_k) and the same noise,
+    pairs mode recovers phases consistent with truth (kf2rms-style check)."""
+    truth, _, _, _ = make_series(3, gap_frac=0.0)
+    doc = truth[0]
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in range(1, M):
+        for d in range(1, min(CFG.t_sep, k) + 1):
+            rows.append((k - d, k, doc[k] - doc[k - d] + rng.normal(0, 0.1)))
+    pairs = np.array(rows)
+    res = kalman_pairs_doc(pairs, T, CFG)
+    rms = np.sqrt(np.nanmean((res["phase"] - doc) ** 2))
+    assert rms < 0.5
+
+
+def test_spark_gapfill_matches_local_kernel(spark):
+    """applyInPandas wrapper == local batch kernel, doc for doc."""
+    _, y, _, _ = make_series(12)
+    B = y.shape[0]
+    rows = []
+    for b in range(B):
+        for k in range(M):
+            rows.append((f"d{b:03d}", k, float(T[k]), None if np.isnan(y[b, k]) else float(y[b, k])))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "step", "t", "value"])
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        kalman_gapfill(sdf, T, CFG, num_buckets=4)
+        .toPandas()
+        .sort_values(["doc_id", "step"])
+        .reset_index(drop=True)
+    )
+    local = kalman_direct_batch(y, T, CFG)
+    got = out.pivot(index="doc_id", columns="step", values="phase").to_numpy()
+    np.testing.assert_allclose(got, local["phase"], rtol=1e-9, atol=1e-9)
+    gotstd = out.pivot(index="doc_id", columns="step", values="std").to_numpy()
+    np.testing.assert_allclose(gotstd, local["std"], rtol=1e-9, atol=1e-9)
+    assert bool(out["gap_filled"].sum()) and int(out["gap_filled"].sum()) == int(
+        np.isnan(y[:, 1:]).sum()
+    )
