@@ -61,4 +61,10 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package to Python workers (same artifact spark-submit
+    # --py-files would ship on a real cluster) so UDF closures unpickle
+    # regardless of the driver's cwd
+    from .packaging import attach_package
+
+    attach_package(spark)
     return spark
