@@ -79,12 +79,22 @@ class KFConfig:
 
 
 def kalman_direct_batch(
-    values: np.ndarray, t: np.ndarray, cfg: KFConfig
+    values: np.ndarray,
+    t: np.ndarray,
+    cfg: KFConfig,
+    init: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """Run the bounded-state KF over a (B, M) batch of series with NaN gaps.
 
+    ``init`` resumes from a committed state snapshot (the reference's update
+    mode, ``restart_from_file`` kf/KF_class.py:70-116): dict with keys
+    X (B,n), P (B,n,n), idx0, k_done. Steps < idx0 were archived by the
+    previous run and are not re-emitted; steps idx0..k_done−1 (the overlap
+    still in state, reference ``tshift`` kf/readinput.py:539-541) are
+    re-emitted with their refined values.
+
     Returns dict with phase (B,M), std (B,M), innov (B,M), gap (B,M bool),
-    m (B, L+t_sep_eff) final state, P (B, n, n) final covariance.
+    m (B, n) final state, P (B, n, n) final covariance, idx0, k_done.
     """
     values = np.asarray(values, dtype=np.float64)
     B, M = values.shape
@@ -96,19 +106,27 @@ def kalman_direct_batch(
     innov = np.full((B, M), np.nan)
     gap = np.zeros((B, M), dtype=bool)
 
-    # init: params 0 with variance sig_a², phase_0 pinned to 0 (variance 0)
-    n = L + 1
-    X = np.zeros((B, n))
-    P = np.zeros((B, n, n))
-    P[:, np.arange(L), np.arange(L)] = cfg.sig_a**2
-    # observation at step 0 defines the datum: phase_0 ≡ 0 exactly
-    phase[:, 0] = 0.0
-    std[:, 0] = 0.0
-    idx0 = 0  # step index of the first phase currently in state
+    if init is not None:
+        X = np.array(init["X"], dtype=np.float64)
+        P = np.array(init["P"], dtype=np.float64)
+        idx0 = int(init["idx0"])
+        k_start = int(init["k_done"])
+        n = X.shape[1]
+    else:
+        # init: params 0 with variance sig_a², phase_0 pinned to 0 (variance 0)
+        n = L + 1
+        X = np.zeros((B, n))
+        P = np.zeros((B, n, n))
+        P[:, np.arange(L), np.arange(L)] = cfg.sig_a**2
+        # observation at step 0 defines the datum: phase_0 ≡ 0 exactly
+        phase[:, 0] = 0.0
+        std[:, 0] = 0.0
+        idx0 = 0  # step index of the first phase currently in state
+        k_start = 1
 
     bas = basis_matrix(cfg.model, t)  # (M, L)
 
-    for k in range(1, M):
+    for k in range(k_start, M):
         b = bas[k]  # (L,)
         # ---- predict: append model-forecast phase (blocked A = [[I],[b,0…]])
         phi_f = X[:, :L] @ b  # (B,)
@@ -154,13 +172,23 @@ def kalman_direct_batch(
                 n -= n_drop
 
     # ---- flush remaining phases (reference kf() epilogue, KF_class.py:561-565)
+    # state (X, P) is NOT modified by the flush — it remains resumable
     rem = n - L
     steps = np.arange(idx0, idx0 + rem)
     phase[:, steps] = X[:, L:]
     pv = P[:, np.arange(L, n), np.arange(L, n)]
     std[:, steps] = np.sqrt(np.abs(pv))
 
-    return {"phase": phase, "std": std, "innov": innov, "gap": gap, "m": X, "P": P}
+    return {
+        "phase": phase,
+        "std": std,
+        "innov": innov,
+        "gap": gap,
+        "m": X,
+        "P": P,
+        "idx0": idx0,
+        "k_done": M,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -331,12 +359,11 @@ def kalman_gapfill(
         res = kalman_direct_batch(wide.to_numpy(), t_grid, cfg)
         B = len(docs)
         if emit_state:
-            n = res["m"].shape[1]
             return pd.DataFrame(
                 {
                     "doc_id": docs,
-                    "k_done": np.full(B, M, dtype=np.int32),
-                    "idx0": np.full(B, M - (n - cfg.L), dtype=np.int32),
+                    "k_done": np.full(B, res["k_done"], dtype=np.int32),
+                    "idx0": np.full(B, res["idx0"], dtype=np.int32),
                     "m": list(res["m"]),
                     "P": list(res["P"].reshape(B, -1)),
                 }
@@ -357,3 +384,77 @@ def kalman_gapfill(
         "_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
     )
     return bucketed.groupBy("_b").applyInPandas(run, schema=out_schema)
+
+
+def kalman_resume(
+    series: DataFrame,
+    state: DataFrame,
+    t_grid: np.ndarray,
+    cfg: KFConfig | None = None,
+    num_buckets: int = 128,
+    emit_state: bool = False,
+) -> DataFrame:
+    """Update mode: continue each doc's recursion from a committed state
+    snapshot over an extended time grid (reference entry point 2,
+    SURVEY.md §3.2; kfts.py:252-330 + restart_from_file).
+
+    ``series`` must cover the full grid's NEW steps (earlier steps may be
+    absent); ``state`` is the KF_STATE output of the previous run. Cogrouped
+    by the same doc-hash bucket so whole docs meet their state in one
+    Arrow batch.
+    """
+    cfg = cfg or KFConfig()
+    t_grid = np.asarray(t_grid, dtype=np.float64)
+    M = len(t_grid)
+    out_schema = KF_STATE if emit_state else KF_OUTPUT
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        right = right.sort_values("doc_id")
+        docs = right["doc_id"].to_numpy()
+        k_done = int(right["k_done"].iloc[0])
+        idx0 = int(right["idx0"].iloc[0])
+        Bm = np.vstack(right["m"].to_numpy())
+        n = Bm.shape[1]
+        Pm = np.vstack(right["P"].to_numpy()).reshape(len(docs), n, n)
+        wide = (
+            left.pivot_table(index="doc_id", columns="step", values="value", dropna=False)
+            .reindex(index=docs, columns=range(M))
+        )
+        res = kalman_direct_batch(
+            wide.to_numpy(),
+            t_grid,
+            cfg,
+            init={"X": Bm, "P": Pm, "idx0": idx0, "k_done": k_done},
+        )
+        B = len(docs)
+        if emit_state:
+            return pd.DataFrame(
+                {
+                    "doc_id": docs,
+                    "k_done": np.full(B, res["k_done"], dtype=np.int32),
+                    "idx0": np.full(B, res["idx0"], dtype=np.int32),
+                    "m": list(res["m"]),
+                    "P": list(res["P"].reshape(B, -1)),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "doc_id": np.repeat(docs, M),
+                "step": np.tile(np.arange(M, dtype=np.int32), B),
+                "t": np.tile(t_grid, B),
+                "phase": res["phase"].ravel(),
+                "std": res["std"].ravel(),
+                "innov": res["innov"].ravel(),
+                "gap_filled": res["gap"].ravel(),
+            }
+        )
+        # drop steps archived by the PREVIOUS run (they carry NaN here)
+        return out[np.isfinite(out["phase"].to_numpy())]
+
+    sb = series.withColumn("_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)))
+    st = state.withColumn("_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)))
+    return sb.groupBy("_b").cogroup(st.groupBy("_b")).applyInPandas(
+        run, schema=out_schema
+    )

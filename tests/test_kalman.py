@@ -141,3 +141,75 @@ def test_spark_gapfill_matches_local_kernel(spark):
     assert bool(out["gap_filled"].sum()) and int(out["gap_filled"].sum()) == int(
         np.isnan(y[:, 1:]).sum()
     )
+
+
+def test_resume_equals_oneshot_local():
+    """Split recursion (run 0..60, snapshot state, resume 60..92) must equal
+    the one-shot run exactly — the Spark recast of the reference's
+    update-mode consistency test (split_data_4test.py:25-50)."""
+    _, y, _, _ = make_series(9)
+    one = kalman_direct_batch(y, T, CFG)
+
+    k_split = 60
+    r1 = kalman_direct_batch(y[:, :k_split], T[:k_split], CFG)
+    r2 = kalman_direct_batch(
+        y, T, CFG,
+        init={"X": r1["m"], "P": r1["P"], "idx0": r1["idx0"], "k_done": r1["k_done"]},
+    )
+    # combined output: archived steps from run1, refreshed steps from run2
+    p1 = np.concatenate([r1["phase"], np.full((9, M - k_split), np.nan)], axis=1)
+    s1 = np.concatenate([r1["std"], np.full((9, M - k_split), np.nan)], axis=1)
+    combined = np.where(np.isfinite(r2["phase"]), r2["phase"], p1)
+    np.testing.assert_array_equal(combined, one["phase"])
+    cstd = np.where(np.isfinite(r2["std"]), r2["std"], s1)
+    np.testing.assert_array_equal(cstd, one["std"])
+    np.testing.assert_array_equal(r2["m"], one["m"])
+    np.testing.assert_array_equal(r2["P"], one["P"])
+
+
+def test_spark_resume_equals_oneshot(spark):
+    from kfts_insar_spark.operators.kalman import kalman_resume
+
+    _, y, _, _ = make_series(8)
+    B = y.shape[0]
+    k_split = 55
+
+    def to_sdf(arr, t, steps):
+        rows = []
+        for b in range(arr.shape[0]):
+            for k in steps:
+                v = arr[b, k]
+                rows.append((f"d{b:03d}", int(k), float(t[k]),
+                             None if np.isnan(v) else float(v)))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "step", "t", "value"])
+        )
+
+    one = (
+        kalman_gapfill(to_sdf(y, T, range(M)), T, CFG, num_buckets=3)
+        .toPandas().sort_values(["doc_id", "step"]).reset_index(drop=True)
+    )
+    st = kalman_gapfill(
+        to_sdf(y, T, range(k_split)), T[:k_split], CFG, num_buckets=3,
+        emit_state=True,
+    )
+    upd = (
+        kalman_resume(to_sdf(y, T, range(k_split, M)), st, T, CFG, num_buckets=3)
+        .toPandas()
+    )
+    # stitch: updated steps replace, archived steps kept from nothing (they
+    # were never emitted in this split-run — reconstruct from run1 output)
+    r1 = (
+        kalman_gapfill(to_sdf(y, T, range(k_split)), T[:k_split], CFG, num_buckets=3)
+        .toPandas()
+    )
+    upd_keys = set(zip(upd.doc_id, upd.step))
+    stitched = pd.concat(
+        [upd, r1[~r1.apply(lambda r: (r.doc_id, r.step) in upd_keys, axis=1)]]
+    ).sort_values(["doc_id", "step"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        stitched.phase.to_numpy(), one.phase.to_numpy(), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        stitched["std"].to_numpy(), one["std"].to_numpy(), rtol=0, atol=0
+    )

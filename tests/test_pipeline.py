@@ -1,0 +1,101 @@
+"""Idempotent-resume fixture (FIXTURES.md F6): OLD-run → commit → NEW-run
+must equal the one-shot run at every tier; replays are no-ops; retention
+drops are metadata-only. The Spark recast of the reference's update-mode
+consistency test (/root/reference/kf/utils/split_data_4test.py:25-50)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfts_insar_spark.operators.compress import decompress_tier
+from kfts_insar_spark.pipeline import TierPipeline
+from kfts_insar_spark.synth import sequences
+
+N = 4000
+
+
+def _tier_rows(spark, pipe, tier):
+    df = pipe.read_tier(spark, tier)
+    if df is None:
+        return []
+    cols = [c for c in df.columns if c != "pday"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    return sequences(spark, N).cache()
+
+
+def test_split_run_equals_oneshot(spark, seq, tmp_path_factory):
+    one = TierPipeline(str(tmp_path_factory.mktemp("oneshot")))
+    res = one.run(spark, seq)
+    assert res["status"] == "ok"
+
+    split_es = seq.approxQuantile("ingest_es", [0.5], 0)[0]
+    two = TierPipeline(str(tmp_path_factory.mktemp("split")))
+    r1 = two.run(spark, seq.filter(F.col("ingest_es") <= split_es))
+    r2 = two.run(spark, seq)  # resumes: only slots past the watermark
+    assert r1["status"] == r2["status"] == "ok"
+    assert r2["watermark_es"] > r1["watermark_es"]
+
+    for tier in ("raw", "1h", "1d"):
+        assert _tier_rows(spark, one, tier) == _tier_rows(spark, two, tier), tier
+
+    # compressed tier decodes to the raw tier exactly
+    back = decompress_tier(two.read_tier(spark, "compressed"))
+    got = sorted((r.source, r.bucket_es, r.value) for r in back.collect())
+    want = sorted(
+        (r[0], r[1], float(r[3]))
+        for r in _tier_rows(spark, two, "raw")  # (source,bucket,n,sum,min,max)
+    )
+    assert got == want
+
+
+def test_replay_is_noop(spark, seq, tmp_path):
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    sid_before = pipe.raw.current_snapshot_id()
+    res = pipe.run(spark, seq)
+    assert res["status"] == "noop"
+    assert pipe.raw.current_snapshot_id() == sid_before
+
+
+def test_retention_and_time_travel(spark, tmp_path):
+    # smaller batches → ~500 slots ≈ 42 h of grid → spans ≥2 UTC days
+    seq = sequences(spark, N, docs_per_batch=8)
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    sid = pipe.raw.current_snapshot_id()
+    days = sorted(
+        r.pday for r in pipe.read_tier(spark, "raw").select("pday").distinct().collect()
+    )
+    if len(days) < 2:
+        pytest.skip("need ≥2 days of buckets")
+    import datetime as dt
+
+    cutoff = int(
+        dt.datetime.strptime(days[1], "%Y-%m-%d")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    pipe.expire_raw_before(cutoff)
+    left = {r.pday for r in pipe.read_tier(spark, "raw").select("pday").distinct().collect()}
+    assert days[0] not in left and days[1] in left
+    # time travel back to pre-retention snapshot sees the dropped day
+    old = pipe.raw.read(spark, snapshot_id=sid)
+    assert days[0] in {r.pday for r in old.select("pday").distinct().collect()}
+    # 1d tier keeps the downsampled history for the expired day
+    assert days[0] in {
+        r.pday for r in pipe.read_tier(spark, "1d").select("pday").distinct().collect()
+    }
+
+
+def test_checkpoint_lineage_records_all_stages(spark, seq, tmp_path):
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    entries = pipe.log.entries()
+    stages = {e["stage"] for e in entries}
+    assert stages == {"tier_raw", "tier_1h", "tier_1d", "tier_compressed"}
+    for e in entries:
+        assert e["n_rows"] > 0 and e["total_bytes"] > 0
+        assert all("bytes" in p and "n_files" in p for p in e["partitions"])
