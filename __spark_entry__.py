@@ -1,38 +1,90 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine lives in ``kfts_insar_spark`` (see SURVEY.md §7). ``entry`` runs
+the flagship raw→1h→1d retention-tier cascade over the sf0.001 events table;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 with DuckDB oracles (exact cross-engine arithmetic documented
+in kfts_insar_spark/plans/common.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+
+def _prepare(spark: SparkSession) -> None:
+    from kfts_insar_spark.packaging import attach_package
+
+    attach_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: ingest the events table,
+    roll it up to the raw (300 s) tier and cascade to 1 h — the engine's
+    continuous-aggregate core — returning the hourly tier."""
+    _prepare(spark)
+    from pyspark.sql import functions as F
+
+    from kfts_insar_spark.plans.common import epoch_us
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw = (
+        ev.select(
+            F.col("event_type").alias("source"),
+            ((epoch_us() / F.lit(300_000_000)).cast("long") * F.lit(300)).alias(
+                "bucket_es"
+            ),
+            F.col("value"),
+        )
+        .groupBy("source", "bucket_es")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    hourly = (
+        raw.groupBy(
+            "source",
+            ((F.col("bucket_es") / 3600).cast("long") * 3600).alias("bucket_es"),
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("sum_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return hourly
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from kfts_insar_spark.plans import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    base = all_queries()
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in base.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle per query (omitted for non-SQL-expressible
+    stateful kernels — the driver records a rows-only check for those)."""
+    from kfts_insar_spark.plans import all_oracle_sql
+
+    return all_oracle_sql()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Measures the engine's core workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- q_tiers:    synth sequences → raw→1h→1d cascade (rolled-up points/sec,
+              the BASELINE.json target metric)
+- q_compress: Gorilla pack of the raw tier
+- q_kalman:   per-doc KF gap-fill over n_docs×92-step series (kernel points/s)
+- q_fingerprint: per-row token-array fingerprint (Catalyst array exprs)
+- q_pricing / q_hourly / q_sessionize: relational suite over the sf tables
+
+`value` is total wall seconds over the headline queries (unit: sec);
+`points_per_sec` fields report the throughput form of the same runs.
+Run tools/bench_scaling.py for the N-vs-4N-cores scaling evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kfts_insar_spark.operators.compress import compress_tier
+    from kfts_insar_spark.operators.kalman import KFConfig, kalman_gapfill
+    from kfts_insar_spark.operators.rollup import (
+        DAY_SECONDS,
+        HOUR_SECONDS,
+        rollup_cascade,
+        rollup_raw,
+    )
+    from kfts_insar_spark.plans.common import n_docs_of, sf_of
+    from kfts_insar_spark.plans.relational_queries import (
+        q_events_hourly_rollup,
+        q_events_sessionize,
+        q_lineitem_pricing_summary,
+    )
+    from kfts_insar_spark.session import get_spark
+    from kfts_insar_spark.synth import sequences, series
+
+    sf = sf_of(SF_DIR)
+    n_docs = n_docs_of(SF_DIR)
+    kf_docs = max(500, int(50_000 * sf))
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        counts[name] = out
+        return out
+
+    # --- tiers (rolled-up points = rows across raw+1h+1d)
+    def tiers():
+        seq = sequences(spark, n_docs, partitions=CPUS * 2)
+        raw = rollup_raw(seq, salt_buckets=CPUS)
+        h = rollup_cascade(raw, HOUR_SECONDS)
+        d = rollup_cascade(h, DAY_SECONDS)
+        return raw.count() + h.count() + d.count()
+
+    timed("q_tiers", tiers)
+
+    def compress():
+        seq = sequences(spark, n_docs, partitions=CPUS * 2)
+        return compress_tier(rollup_raw(seq, salt_buckets=CPUS)).count()
+
+    timed("q_compress", compress)
+
+    # --- kalman gap-fill kernel
+    M = 92
+    t_grid = np.arange(M) * 12.0 / 365.25
+    cfg = KFConfig(
+        model=[("POLY", 1), ("SIN", 2 * np.pi), ("COS", 2 * np.pi)],
+        sig_y=1.0,
+        sig_i=0.5,
+        sig_a=30.0,
+        t_sep=4,
+    )
+
+    def kalman():
+        ser = series(spark, kf_docs, M, partitions=CPUS * 2)
+        out = kalman_gapfill(ser, t_grid, cfg, num_buckets=CPUS * 4)
+        return out.count()
+
+    timed("q_kalman", kalman)
+
+    def fingerprint():
+        from kfts_insar_spark.plans.engine_queries import q_seq_token_fingerprint
+
+        return q_seq_token_fingerprint(spark, SF_DIR).count()
+
+    timed("q_fingerprint", fingerprint)
+
+    timed("q_pricing", lambda: q_lineitem_pricing_summary(spark, SF_DIR).count())
+    timed("q_hourly", lambda: q_events_hourly_rollup(spark, SF_DIR).count())
+    timed("q_sessionize", lambda: q_events_sessionize(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline suite wall time (tiers+codec+kalman+relational)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "rolled_up_points_per_sec": round(counts["q_tiers"] / timings["q_tiers"], 1),
+        "kalman_points_per_sec": round(
+            (kf_docs * M) / timings["q_kalman"], 1
+        ),
+        "rows": counts,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
