@@ -126,50 +126,85 @@ def kalman_direct_batch(
 
     bas = basis_matrix(cfg.model, t)  # (M, L)
 
+    # Single persistent state buffer sized to the steady-state maximum
+    # (L + t_sep + 1, right before compaction). The naive formulation
+    # allocates ~10 fresh (B,n,n) arrays per step → tens of GB of page-
+    # zeroing churn per task (measured as 90% kernel-time CPU with 32
+    # workers); and even a ping-pong copy of P per step doubles memory
+    # traffic — the kernel is bandwidth-bound at high core counts. All
+    # updates below are strictly in place; compaction shifts through small
+    # scratch blocks to avoid overlapping copies.
+    n_max = max(n, L + ts) + 1
+    Xb = np.zeros((B, n_max))
+    Pb = np.zeros((B, n_max, n_max))
+    Xb[:, :n] = X
+    Pb[:, :n, :n] = P
+    Cbuf = np.empty((B, n_max))
+    Klast = np.empty((B, n_max))
+    rowbuf = np.empty((B, n_max))
+    scr = np.empty((B, n_max, n_max))
+    X, P = Xb, Pb
+
+    diagL = np.arange(L)
+
     for k in range(k_start, M):
         b = bas[k]  # (L,)
         # ---- predict: append model-forecast phase (blocked A = [[I],[b,0…]])
-        phi_f = X[:, :L] @ b  # (B,)
-        C = np.einsum("l,bln->bn", b, P[:, :L, :])  # cov(new phase, state)
+        # C/v_new from pre-Q P (== A P Aᵀ border), then Q on the diagonal
+        C = Cbuf[:, :n]
+        np.einsum("l,bln->bn", b, P[:, :L, :n], out=C)  # cov(new, state)
         v_new = np.einsum("l,blm,m->b", b, P[:, :L, :L], b) + cfg.add_err
-
-        Xf = np.concatenate([X, phi_f[:, None]], axis=1)
-        Pf = np.empty((B, n + 1, n + 1))
-        Pf[:, :n, :n] = P
-        Pf[:, np.arange(L), np.arange(L)] += cfg.m_err
-        Pf[:, np.arange(L, n), np.arange(L, n)] += cfg.phi_err
-        Pf[:, n, :n] = C
-        Pf[:, :n, n] = C
-        Pf[:, n, n] = v_new
+        np.matmul(X[:, :L], b, out=X[:, n])
+        if cfg.m_err:
+            P[:, diagL, diagL] += cfg.m_err
+        if cfg.phi_err:
+            P[:, np.arange(L, n), np.arange(L, n)] += cfg.phi_err
+        P[:, n, :n] = C
+        P[:, :n, n] = C
+        P[:, n, n] = v_new
         n += 1
 
         # ---- update: scalar obs y_k on the newest phase (H = e_last)
         y = values[:, k]
         obs = np.isfinite(y)
-        nu = np.where(obs, y - Xf[:, -1], np.nan)
-        S = Pf[:, -1, -1] + R  # (B,)
-        K = Pf[:, :, -1] / S[:, None]  # (B, n)
+        nu = np.where(obs, y - X[:, n - 1], np.nan)
+        S = P[:, n - 1, n - 1] + R  # (B,)
+        K = Klast[:, :n]
+        np.divide(P[:, :n, n - 1], S[:, None], out=K)
         K[~obs] = 0.0  # gap → no update (== reference forecast-only branch)
-        X = Xf + K * np.where(obs, nu, 0.0)[:, None]
-        P = Pf - np.einsum("bi,bj->bij", K, Pf[:, -1, :])
+        last_row = rowbuf[:, :n]
+        last_row[:] = P[:, n - 1, :n]  # copy before in-place P update
+        X[:, :n] += K * np.where(obs, nu, 0.0)[:, None]
+        prod = scr[:, :n, :n]
+        np.multiply(K[:, :, None], last_row[:, None, :], out=prod)
+        P[:, :n, :n] -= prod
         innov[:, k] = nu
         gap[:, k] = ~obs
 
         # ---- compaction every step (reference's always-true condition)
         if k >= ts:
-            n_phases = n - L
-            n_drop = n_phases - ts
+            n_drop = (n - L) - ts
             if n_drop > 0:
-                dropped = X[:, L : L + n_drop]
-                dvar = P[:, np.arange(L, L + n_drop), np.arange(L, L + n_drop)]
                 steps = np.arange(idx0, idx0 + n_drop)
-                phase[:, steps] = dropped
+                phase[:, steps] = X[:, L : L + n_drop]
+                dvar = P[:, np.arange(L, L + n_drop), np.arange(L, L + n_drop)]
                 std[:, steps] = np.sqrt(np.abs(dvar))
-                keep = np.r_[np.arange(L), np.arange(L + n_drop, n)]
-                X = X[:, keep]
-                P = P[:, keep[:, None], keep[None, :]]
+                nk = n - n_drop
+                # shift kept phases up/left via scratch (overlap-safe)
+                t1 = scr[:, 0, :ts]
+                t1[:] = X[:, L + n_drop : n]
+                X[:, L:nk] = t1
+                t2 = scr[:, :n, :ts]
+                t2[:] = P[:, :n, L + n_drop : n]
+                P[:, :n, L:nk] = t2
+                t3 = scr[:, :ts, :nk]
+                t3[:] = P[:, L + n_drop : n, :nk]
+                P[:, L:nk, :nk] = t3
                 idx0 += n_drop
-                n -= n_drop
+                n = nk
+
+    X = Xb[:, :n].copy()
+    P = Pb[:, :n, :n].copy()
 
     # ---- flush remaining phases (reference kf() epilogue, KF_class.py:561-565)
     # state (X, P) is NOT modified by the flush — it remains resumable
@@ -329,6 +364,18 @@ def kalman_pairs_doc(
 # Spark operator: groupBy(doc-hash bucket).applyInPandas, kernel vectorized
 # across all docs in the bucket. No per-row Python anywhere.
 # --------------------------------------------------------------------------
+def _fast_pivot(pdf: pd.DataFrame, M: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, step, value) long → (docs, (B, M) value matrix with NaN
+    gaps). np.unique + fancy indexing: ~10× faster than pandas pivot_table,
+    which dominated per-group time in profiling."""
+    docs, codes = np.unique(pdf["doc_id"].to_numpy(), return_inverse=True)
+    values = np.full((len(docs), M), np.nan)
+    steps = pdf["step"].to_numpy(np.int64)
+    v = pdf["value"].to_numpy(np.float64, na_value=np.nan)
+    values[codes, steps] = v
+    return docs, values
+
+
 def kalman_gapfill(
     series: DataFrame,
     t_grid: np.ndarray,
@@ -349,14 +396,8 @@ def kalman_gapfill(
     out_schema = KF_STATE if emit_state else KF_OUTPUT
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        wide = (
-            pdf.pivot_table(
-                index="doc_id", columns="step", values="value", dropna=False
-            )
-            .reindex(columns=range(M))
-        )
-        docs = wide.index.to_numpy()
-        res = kalman_direct_batch(wide.to_numpy(), t_grid, cfg)
+        docs, values = _fast_pivot(pdf, M)
+        res = kalman_direct_batch(values, t_grid, cfg)
         B = len(docs)
         if emit_state:
             return pd.DataFrame(
@@ -384,6 +425,287 @@ def kalman_gapfill(
         "_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
     )
     return bucketed.groupBy("_b").applyInPandas(run, schema=out_schema)
+
+
+def kalman_gapfill_aligned(
+    series: DataFrame,
+    t_grid: np.ndarray,
+    cfg: KFConfig | None = None,
+    emit_state: bool = False,
+) -> DataFrame:
+    """Shuffle-free KF over doc-aligned input — the 100 TB fast path.
+
+    When the input table is written bucketed/sorted by doc_id (Iceberg
+    ``bucket(doc_id)`` partitioning — rows of one doc never straddle a file/
+    partition boundary), the grouped-map shuffle in :func:`kalman_gapfill` is
+    pure overhead: mapInPandas processes each partition's docs in place.
+    Decomposition measured at sf-bench scale showed the shuffle+Arrow feed
+    alone costs more than the entire kernel, and *degrades* with core count —
+    this path removes it.
+
+    Arrow batches may split a doc across consecutive batches within a
+    partition; a carry buffer re-attaches the head of the next batch.
+    Requires: series sorted by (doc_id, step) within partitions, docs not
+    straddling partitions.
+    """
+    cfg = cfg or KFConfig()
+    t_grid = np.asarray(t_grid, dtype=np.float64)
+    M = len(t_grid)
+    out_schema = KF_STATE if emit_state else KF_OUTPUT
+
+    def emit(docs: np.ndarray, values: np.ndarray) -> pd.DataFrame:
+        res = kalman_direct_batch(values, t_grid, cfg)
+        B = len(docs)
+        if emit_state:
+            return pd.DataFrame(
+                {
+                    "doc_id": docs,
+                    "k_done": np.full(B, res["k_done"], dtype=np.int32),
+                    "idx0": np.full(B, res["idx0"], dtype=np.int32),
+                    "m": list(res["m"]),
+                    "P": list(res["P"].reshape(B, -1)),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(docs, M),
+                "step": np.tile(np.arange(M, dtype=np.int32), B),
+                "t": np.tile(t_grid, B),
+                "phase": res["phase"].ravel(),
+                "std": res["std"].ravel(),
+                "innov": res["innov"].ravel(),
+                "gap_filled": res["gap"].ravel(),
+            }
+        )
+
+    # Accumulate Arrow batches before invoking the kernel: the default
+    # 20k-row batch holds only ~200 docs, and the kernel's fixed per-call
+    # cost (92 steps × numpy dispatch) then dominates — measured 4-5× slower
+    # than B≈2000 batches.
+    min_batch_rows = 200_000
+
+    def run(batches):
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        for pdf in batches:
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered < min_batch_rows:
+                continue
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            ids = whole["doc_id"].to_numpy()
+            # hold back the (possibly incomplete) trailing doc
+            cut = np.searchsorted(ids, ids[-1])  # ids sorted within partition
+            buf, buffered = [whole.iloc[cut:]], len(whole) - cut
+            head = whole.iloc[:cut]
+            if len(head):
+                docs, values = _fast_pivot(head, M)
+                yield emit(docs, values)
+        if buffered:
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            if len(whole):
+                docs, values = _fast_pivot(whole, M)
+                yield emit(docs, values)
+
+    return series.mapInPandas(run, schema=out_schema)
+
+
+def kalman_gapfill_wide(
+    series_wide: DataFrame,
+    t_grid: np.ndarray,
+    cfg: KFConfig | None = None,
+    emit_state: bool = False,
+    wide_output: bool = True,
+    min_batch_docs: int = 2000,
+) -> DataFrame:
+    """KF over the wide layout (doc_id, values: array<double>) — the hot
+    path at scale. No shuffle, and the Arrow exchange moves one row per DOC
+    instead of one per (doc, step): measured ~10× cheaper than the long
+    layout, whose per-row JVM serialization cost did not scale with cores.
+
+    ``wide_output=True`` returns (doc_id, phase[], std[], innov[], gap[]);
+    call :func:`explode_kf_output` for the long KF_OUTPUT view (JVM-side
+    posexplode — cheap). NULL array elements are gaps.
+    """
+    cfg = cfg or KFConfig()
+    t_grid = np.asarray(t_grid, dtype=np.float64)
+    M = len(t_grid)
+    if emit_state:
+        out_schema = KF_STATE
+    elif wide_output:
+        out_schema = (
+            "doc_id string, phase array<double>, std array<double>, "
+            "innov array<double>, gap array<boolean>"
+        )
+    else:
+        out_schema = KF_OUTPUT
+
+    def emit(docs: np.ndarray, values: np.ndarray) -> pd.DataFrame:
+        res = kalman_direct_batch(values, t_grid, cfg)
+        B = len(docs)
+        if emit_state:
+            return pd.DataFrame(
+                {
+                    "doc_id": docs,
+                    "k_done": np.full(B, res["k_done"], dtype=np.int32),
+                    "idx0": np.full(B, res["idx0"], dtype=np.int32),
+                    "m": list(res["m"]),
+                    "P": list(res["P"].reshape(B, -1)),
+                }
+            )
+        if wide_output:
+            return pd.DataFrame(
+                {
+                    "doc_id": docs,
+                    "phase": list(res["phase"]),
+                    "std": list(res["std"]),
+                    "innov": list(res["innov"]),
+                    "gap": list(res["gap"]),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(docs, M),
+                "step": np.tile(np.arange(M, dtype=np.int32), B),
+                "t": np.tile(t_grid, B),
+                "phase": res["phase"].ravel(),
+                "std": res["std"].ravel(),
+                "innov": res["innov"].ravel(),
+                "gap_filled": res["gap"].ravel(),
+            }
+        )
+
+    if emit_state or not wide_output:
+        # pandas path (small outputs / long view)
+        def run_pd(batches):
+            buf_docs: list[np.ndarray] = []
+            buf_vals: list[np.ndarray] = []
+            buffered = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                buf_docs.append(pdf["doc_id"].to_numpy())
+                buf_vals.append(_stack_values(pdf["values"].to_numpy(), M))
+                buffered += len(pdf)
+                if buffered >= min_batch_docs:
+                    yield emit(np.concatenate(buf_docs), np.vstack(buf_vals))
+                    buf_docs, buf_vals, buffered = [], [], 0
+            if buffered:
+                yield emit(np.concatenate(buf_docs), np.vstack(buf_vals))
+
+        return series_wide.mapInPandas(run_pd, schema=out_schema)
+
+    # Arrow-native path: zero-copy in (list offsets + flat buffer → reshape)
+    # and vectorized out (flat numpy → ListArray). pandas list-column
+    # conversion is per-element and was the residual non-scaling cost.
+    import pyarrow as pa
+
+    out_pa = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("phase", pa.list_(pa.float64())),
+            pa.field("std", pa.list_(pa.float64())),
+            pa.field("innov", pa.list_(pa.float64())),
+            pa.field("gap", pa.list_(pa.bool_())),
+        ]
+    )
+
+    def to_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, pa.ListArray):
+            offs = arr.offsets.to_numpy()
+            widths = np.diff(offs)
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            if (widths == M).all() and len(flat) == len(arr) * M:
+                return flat.reshape(len(arr), M)
+        # ragged fallback
+        vals = np.full((len(arr), M), np.nan)
+        for i, a in enumerate(arr.to_pylist()):
+            if a is not None:
+                aa = np.asarray(
+                    [np.nan if x is None else x for x in a], dtype=np.float64
+                )
+                vals[i, : len(aa)] = aa
+        return vals
+
+    def run_arrow(batches):
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+
+        def flush():
+            tbl = pa.Table.from_batches(buf)
+            docs = tbl.column("doc_id")
+            values = to_matrix(tbl.column("values"))
+            res = kalman_direct_batch(values, t_grid, cfg)
+            B = len(values)
+            offs = pa.array(
+                np.arange(0, (B + 1) * M, M, dtype=np.int32)
+            )
+
+            def lst(flat, typ):
+                return pa.ListArray.from_arrays(offs, pa.array(flat, type=typ))
+
+            return pa.RecordBatch.from_arrays(
+                [
+                    docs.combine_chunks(),
+                    lst(res["phase"].ravel(), pa.float64()),
+                    lst(res["std"].ravel(), pa.float64()),
+                    lst(res["innov"].ravel(), pa.float64()),
+                    lst(res["gap"].ravel(), pa.bool_()),
+                ],
+                schema=out_pa,
+            )
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf.append(rb)
+            buffered += rb.num_rows
+            if buffered >= min_batch_docs:
+                yield flush()
+                buf, buffered = [], 0
+        if buffered:
+            yield flush()
+
+    return series_wide.mapInArrow(
+        run_arrow,
+        schema=(
+            "doc_id string, phase array<double>, std array<double>, "
+            "innov array<double>, gap array<boolean>"
+        ),
+    )
+
+
+def _stack_values(col: np.ndarray, M: int) -> np.ndarray:
+    """list-of-arrays column → (B, M) float matrix (None → NaN)."""
+    vals = np.full((len(col), M), np.nan)
+    for i, arr in enumerate(col):
+        a = np.asarray(arr, dtype=np.float64)
+        vals[i, : len(a)] = a
+    return vals
+
+
+def explode_kf_output(wide: DataFrame, t_grid: np.ndarray) -> DataFrame:
+    """(doc_id, phase[], std[], innov[], gap[]) → long KF_OUTPUT rows,
+    entirely JVM-side (posexplode + array literal for t)."""
+    t_arr = F.array(*[F.lit(float(t)) for t in np.asarray(t_grid)])
+    return (
+        wide.select(
+            "doc_id",
+            F.posexplode(F.arrays_zip("phase", "std", "innov", "gap")).alias(
+                "step", "z"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("step").cast("int").alias("step"),
+            F.element_at(t_arr, F.col("step") + 1).alias("t"),
+            F.col("z.phase").alias("phase"),
+            F.col("z.std").alias("std"),
+            F.col("z.innov").alias("innov"),
+            F.col("z.gap").alias("gap_filled"),
+        )
+    )
 
 
 def kalman_resume(
@@ -418,12 +740,14 @@ def kalman_resume(
         Bm = np.vstack(right["m"].to_numpy())
         n = Bm.shape[1]
         Pm = np.vstack(right["P"].to_numpy()).reshape(len(docs), n, n)
-        wide = (
-            left.pivot_table(index="doc_id", columns="step", values="value", dropna=False)
-            .reindex(index=docs, columns=range(M))
-        )
+        ldocs, lvalues = _fast_pivot(left, M)
+        values = np.full((len(docs), M), np.nan)
+        pos = {d: i for i, d in enumerate(ldocs)}
+        sel = np.array([pos.get(d, -1) for d in docs])
+        hit = sel >= 0
+        values[hit] = lvalues[sel[hit]]
         res = kalman_direct_batch(
-            wide.to_numpy(),
+            values,
             t_grid,
             cfg,
             init={"X": Bm, "P": Pm, "idx0": idx0, "k_done": k_done},

@@ -1,0 +1,499 @@
+"""Training-data pipeline operators over `documents` and `embeddings`
+(driver brief: dedup, similarity search, text analysis — first-class
+components alongside the SURVEY.md §2 inventory), each with a DuckDB oracle.
+
+Cross-engine exactness strategy (see plans/common.py):
+- all hashes are explicit integer polynomials (31-base rolling hash mod
+  1e9+7) evaluated identically by Catalyst and DuckDB — never engine-native
+  hash functions;
+- embedding similarity runs on 1e3-quantized INTEGER vectors: products and
+  sums stay < 2^53, so even DuckDB's double-typed list_dot_product is exact
+  and cosine = qdot/sqrt(qa2·qb2) is bit-identical;
+- ratios are double divisions of exact integers (order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load
+
+P = 1_000_000_007
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+JACCARD_TAU = 0.5
+
+
+# --------------------------------------------------------------- primitives
+def _words(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+_WORDS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
+
+
+def _poly_hash_expr(colname: str) -> str:
+    """Spark SQL form (usable in selectExpr)."""
+    return (
+        f"aggregate(transform(sequence(1, length({colname})), "
+        f"i -> ascii(substring({colname}, i, 1))), 0L, "
+        f"(a, c) -> (a * 31 + c) % {P})"
+    )
+
+
+def _poly_hash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, 1 + length({expr})), "
+        f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+        f"(a, c) -> (a * 31 + c) % {P})"
+    )
+
+
+# ------------------------------------------------------------ text analysis
+def q_doc_token_count(spark, sf_dir):
+    """Token counting: whitespace words + distinct words + char count —
+    the per-doc token statistics a data pipeline computes before training."""
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("int").alias("n_distinct_words"),
+        F.length("text").cast("int").alias("n_chars_m"),
+    )
+
+
+def q_doc_quality_score(spark, sf_dir):
+    """Quality scoring: length / stopword-ratio / mean word length — exact
+    integer counts, double ratios."""
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_stop = F.size(
+        F.filter(w, lambda x: x.isin(*STOPWORDS))
+    )
+    n_words = F.size(w)
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_stop.cast("int").alias("n_stop"),
+        (n_stop.cast("double") / n_words).alias("stop_ratio"),
+        (
+            (F.length("text") - n_words + 1).cast("double") / n_words
+        ).alias("mean_word_len"),
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic: deterministic marker-word voting with a fixed
+    priority tie-break (a real pipeline uses n-gram profiles; the operator
+    shape — per-doc scoring + argmax — is identical)."""
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    markers = {
+        "en": ("the", "a", "fast", "slow"),
+        "de": ("der", "die", "und", "agg"),
+        "es": ("el", "la", "query", "data"),
+        "fr": ("le", "la", "window", "order"),
+        "zh": ("de", "shi", "join", "merge"),
+    }
+    votes = [
+        F.size(F.filter(w, lambda x: x.isin(*ms))).alias(f"v_{lang}")
+        for lang, ms in markers.items()
+    ]
+    scored = d.select("doc_id", "lang", *votes)
+    # argmax with fixed order tie-break (en > de > es > fr > zh)
+    pred = F.lit("en")
+    best = F.col("v_en")
+    for lang in ("de", "es", "fr", "zh"):
+        cond = F.col(f"v_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"v_{lang}")).otherwise(best)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        best.cast("int").alias("best_votes"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: rolling polynomial hash over all chars —
+    the content-defined fingerprint used for shard-stable dedup keys."""
+    d = load(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id", f"CAST({_poly_hash_expr('text')} AS BIGINT) AS fp"
+    )
+
+
+# ------------------------------------------------------------------- dedup
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id as canonical
+    (at 100 TB: one shuffle on the digest; dup groups are tiny → no skew)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Distinct word n-gram shingle strings (empty for docs < n words —
+    Spark's sequence() counts DOWN for start > stop, so guard explicitly
+    to match DuckDB range()'s empty result)."""
+    w = _words(col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(w) >= n, F.array_distinct(sh)).otherwise(empty)
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(0, 1 + len({w}) - 3), "
+    "i -> {w}[i+1] || ' ' || {w}[i+2] || ' ' || {w}[i+3]))"
+)
+
+
+def q_doc_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard ≥ τ: explode distinct shingles
+    → equi-join on shingle → |A∩B| per pair → Jaccard from set sizes.
+    At 100 TB the same plan holds with the shingle column bucketed; the
+    shingle join is the scale path (no all-pairs cross join)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    sized = d.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard")
+    )
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: shingle → K=16 minhashes (integer affine
+    permutations of the 31-base shingle hash) → 4 bands × 4 rows →
+    candidate pairs sharing a band key. Fully deterministic integer
+    arithmetic → DuckDB-oracle-checkable. The banded self-join touches only
+    same-bucket rows — the dedup plan that survives 10^12 docs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    )
+    # (expression built via selectExpr for exact parity with the SQL oracle)
+    hashed = d.selectExpr("doc_id", f"{_poly_hash_expr('s')} AS h")
+    ks = spark.range(MINHASH_K).selectExpr(
+        "cast(id as int) AS j",
+        "cast(2*id + 1 as bigint) AS aj",
+        "cast(id * 7919 + 1 as bigint) AS bj",
+    )
+    mh = (
+        hashed.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("aj") * F.col("h") + F.col("bj")) % F.lit(P)).alias("mh"))
+    )
+    w31 = F.when(F.col("j") % 4 == 0, 1).when(F.col("j") % 4 == 1, 31).when(
+        F.col("j") % 4 == 2, 961
+    ).otherwise(29791)
+    bands = (
+        mh.withColumn("band", (F.col("j") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg((F.sum(F.col("mh") % F.lit(P) * w31) % F.lit(P)).alias("band_key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash (16-bit) over word hashes: per bit j, sign of Σ(2·bit_j−1)
+    across words (with multiplicity); fingerprint = Σ 2^j [sum > 0]."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    hashed = words.selectExpr("doc_id", f"{_poly_hash_expr('w')} AS h")
+    bits = spark.range(16).selectExpr("cast(id as int) AS j")
+    contrib = (
+        hashed.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END")
+            ).alias("s")
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("cast(shiftleft(1L, j) as bigint)")
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+# -------------------------------------------------------- similarity search
+def _quantized(col):
+    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+
+
+def q_emb_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 query vectors over
+    1e3-quantized integer embeddings (exact in both engines; rank ties
+    broken by neighbor id). The baseline ANN oracle; the LSH variant below
+    is the scale path."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q_: p * q_), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    norms = e.select("vec_id", "q", dot(F.col("q"), F.col("q")).alias("n2"))
+    qs = norms.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    j = norms.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = dot(F.col("q"), F.col("qv")).cast("double") / F.sqrt(
+        (F.col("n2") * F.col("qn2")).cast("double")
+    )
+    scored = j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
+def q_emb_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing: 8 deterministic {−1,0,1} hyperplanes over the
+    quantized embedding → 8-bit bucket id. The bucket join (not all-pairs)
+    is what scales ANN to 10^12 vectors; bucket assignment is the
+    oracle-checked part."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(8):
+        coef = lambda d, p=p: (  # noqa: E731
+            (F.lit((p * 64 + 1) * 2654435761) + d * F.lit(40503)) % F.lit(2147483647)
+        ) % 3 - 1
+        dot_p = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.transform(F.sequence(F.lit(0), F.lit(63)), lambda d: coef(d)),
+                lambda x, c: x * c,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return e.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+QUERIES = {
+    "doc_token_count": q_doc_token_count,
+    "doc_quality_score": q_doc_quality_score,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "emb_topk_cosine": q_emb_topk_cosine,
+    "emb_lsh_buckets": q_emb_lsh_buckets,
+}
+
+_W = _WORDS_SQL.format(c="text")
+_SHW = _SHINGLES_SQL.format(w="w")
+_STOP_IN = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+
+ORACLE_SQL = {
+    "doc_token_count": f"""
+SELECT doc_id,
+       CAST(len({_W}) AS INT) AS n_words,
+       CAST(len(list_distinct({_W})) AS INT) AS n_distinct_words,
+       CAST(length(text) AS INT) AS n_chars_m
+FROM documents
+""",
+    "doc_quality_score": f"""
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_stop AS INT) AS n_stop,
+       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       CAST(length(text) - n_words + 1 AS DOUBLE) / n_words AS mean_word_len
+FROM (
+  SELECT doc_id, text,
+         len({_W}) AS n_words,
+         len(list_filter({_W}, x -> {_STOP_IN})) AS n_stop
+  FROM documents
+)
+""",
+    "doc_lang_id": f"""
+SELECT doc_id, lang AS true_lang,
+       CASE WHEN v_zh > greatest(v_en, v_de, v_es, v_fr) THEN 'zh'
+            WHEN v_fr > greatest(v_en, v_de, v_es) THEN 'fr'
+            WHEN v_es > greatest(v_en, v_de) THEN 'es'
+            WHEN v_de > v_en THEN 'de'
+            ELSE 'en' END AS pred_lang,
+       CAST(greatest(v_en, v_de, v_es, v_fr, v_zh) AS INT) AS best_votes
+FROM (
+  SELECT doc_id, lang,
+    len(list_filter({_W}, x -> x='the' OR x='a' OR x='fast' OR x='slow')) AS v_en,
+    len(list_filter({_W}, x -> x='der' OR x='die' OR x='und' OR x='agg')) AS v_de,
+    len(list_filter({_W}, x -> x='el' OR x='la' OR x='query' OR x='data')) AS v_es,
+    len(list_filter({_W}, x -> x='le' OR x='la' OR x='window' OR x='order')) AS v_fr,
+    len(list_filter({_W}, x -> x='de' OR x='shi' OR x='join' OR x='merge')) AS v_zh
+  FROM documents
+)
+""",
+    "doc_fingerprint": f"""
+SELECT doc_id, CAST({_poly_hash_sql('text')} AS BIGINT) AS fp FROM documents
+""",
+    "doc_exact_dedup": """
+SELECT md5(text) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+""",
+    "doc_ngram_jaccard_pairs": f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL.format(w=_W)} AS shingles FROM documents
+),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_TAU}
+""",
+    "doc_minhash_lsh": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL.format(w=_W)}) AS s FROM documents
+),
+hashed AS (SELECT doc_id, {_poly_hash_sql('s')} AS h FROM sh),
+ks AS (SELECT CAST(j AS INT) AS j, CAST(2*j+1 AS BIGINT) AS aj,
+              CAST(j*7919+1 AS BIGINT) AS bj
+       FROM range({MINHASH_K}) t(j)),
+mh AS (
+  SELECT doc_id, j, min((aj * h + bj) % {P}) AS mh
+  FROM hashed CROSS JOIN ks GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         SUM(mh % {P} * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                          WHEN 2 THEN 961 ELSE 29791 END)) % {P} AS band_key
+  FROM mh GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "doc_simhash": f"""
+WITH words AS (
+  SELECT doc_id, unnest({_W}) AS w FROM documents
+),
+hashed AS (SELECT doc_id, {_poly_hash_sql('w')} AS h FROM words),
+contrib AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN (SELECT CAST(j AS INT) AS j FROM range(16) t(j)) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(2 AS BIGINT) ** j ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM contrib GROUP BY 1
+""",
+    "emb_topk_cosine": """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (a, v) -> a + v) AS n2
+  FROM q
+),
+pairs AS (
+  SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 65),
+                i -> nn.qv[i] * qq.qv[i])), (a, v) -> a + v) AS DOUBLE)
+           / sqrt(CAST(nn.n2 * qq.n2 AS DOUBLE)) AS cos
+  FROM n nn CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) qq
+  WHERE nn.vec_id != qq.vec_id
+)
+SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 5
+""",
+    "emb_lsh_buckets": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id, CAST((
+  {" + ".join(
+      f'''(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 64),
+              d -> qv[d+1] * (((CAST({(p * 64 + 1) * 2654435761} AS BIGINT) + d * 40503)
+                               % 2147483647) % 3 - 1))),
+            (a, v) -> a + v) > 0 THEN {1 << p} ELSE 0 END)'''
+      for p in range(8)
+  )}
+) AS INT) AS bucket
+FROM q
+""",
+}

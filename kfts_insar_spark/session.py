@@ -30,6 +30,14 @@ def get_spark(
     ``cores=None`` → ``local[*]``. On a real cluster this builder is bypassed
     by ``spark-submit`` conf; everything here is also safe to set cluster-side.
     """
+    # Pin BLAS/OMP to one thread per Python worker: Spark already gives one
+    # worker per core, so library-level threading multiplies to cores² and
+    # thrashes (the reference pins OMP_NUM_THREADS for its MPI ranks the same
+    # way, run_KFTS.slurm:13). Must happen before numpy loads in workers —
+    # workers fork from a daemon that inherits this env.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         env_cores = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env_cores}]" if env_cores else "local[*]"

@@ -152,6 +152,57 @@ def series(
     )
 
 
+def series_wide(
+    spark: SparkSession,
+    n_docs: int,
+    n_steps: int = 92,
+    seed: int = 46,
+    gap_pct: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Wide form of :func:`series`: ONE row per doc with
+    ``values: array<double>`` (NULL elements = gaps). Same generating model,
+    same hash chain per (doc, step).
+
+    This is the hot-path layout (SURVEY.md §2.8 F12 — arrays stay arrays):
+    the per-row PySpark Arrow exchange costs ~µs/row JVM-side and was
+    measured NOT to scale with cores; packing the 92-step series into one
+    array row shrinks exchanged rows 92× and the serialization becomes
+    vectorized buffer copies. It is also the honest analogue of the
+    reference's storage (one HDF5 row per pixel, kf/readinput.py:77-106).
+    """
+    rng = spark.range(0, n_docs, 1, partitions) if partitions else spark.range(n_docs)
+    df = rng.select(F.col("id").alias("i"))
+    h1 = _lcg(df.i + F.lit(1 + seed))
+    h2 = _lcg(h1)
+    h3 = _lcg(h2)
+    m1 = F.lit(5.0) + (h1 % 1000).cast("double") / 100.0
+    amp_s = F.lit(2.0) + (h2 % 400).cast("double") / 100.0
+    amp_c = F.lit(2.0) + (h3 % 400).cast("double") / 100.0
+    step_amp = F.lit(10.0) + (h2 % 2000).cast("double") / 100.0
+    two_pi = 6.283185307179586
+
+    def value_at(step):
+        t = step.cast("double") * F.lit(12.0 / 365.25)
+        hk = _lcg(df.i * F.lit(n_steps) + step + F.lit(7 + seed))
+        noise = ((hk % 2001).cast("double") - 1000.0) / 1000.0
+        val = (
+            m1 * t
+            + amp_s * F.sin(t * F.lit(two_pi))
+            + amp_c * F.cos(t * F.lit(two_pi))
+            + F.when(t >= 1.5, step_amp).otherwise(0.0)
+            + noise * 0.5
+        )
+        is_gap = (step > 0) & ((hk % 100) < gap_pct)
+        return F.when(is_gap, None).otherwise(val)
+
+    values = F.transform(F.sequence(F.lit(0), F.lit(n_steps - 1)), value_at)
+    return df.select(
+        F.concat(F.lit("doc"), F.lpad(df.i.cast("string"), 8, "0")).alias("doc_id"),
+        values.alias("values"),
+    )
+
+
 def sequences_sql(
     n_docs: int,
     seed: int = 42,

@@ -213,3 +213,28 @@ def test_spark_resume_equals_oneshot(spark):
     np.testing.assert_allclose(
         stitched["std"].to_numpy(), one["std"].to_numpy(), rtol=0, atol=0
     )
+
+
+def test_aligned_path_matches_grouped(spark):
+    """Shuffle-free mapInPandas path == grouped-map path on aligned input."""
+    from kfts_insar_spark.operators.kalman import kalman_gapfill_aligned
+    from kfts_insar_spark.synth import series as synth_series
+
+    ser = synth_series(spark, 64, 92, partitions=8)  # 64 % 8 == 0 → aligned
+    a = (
+        kalman_gapfill_aligned(ser, T, CFG)
+        .toPandas().sort_values(["doc_id", "step"]).reset_index(drop=True)
+    )
+    b = (
+        kalman_gapfill(ser, T, CFG, num_buckets=4)
+        .toPandas().sort_values(["doc_id", "step"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 64 * 92
+    # batch size differs between the two paths → BLAS blocking differs →
+    # last-ulp float differences; tolerance matches the oracle tests
+    np.testing.assert_allclose(
+        a.phase.to_numpy(), b.phase.to_numpy(), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        a["std"].to_numpy(), b["std"].to_numpy(), rtol=1e-9, atol=1e-9
+    )
