@@ -49,14 +49,16 @@ def synth_media(docs: DataFrame, media_type: str = "image/png") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+def _decode_stub(
+    payload: bytes, width: int, height: int, channels: int, strict: bool | None = None
+) -> np.ndarray:
     """STUB for the real image decode (no PIL/libjpeg in this container).
 
     Deterministic fake: tiles the payload bytes into the declared (h, w, c)
     shape — preserving the real decode's contract (shape, dtype, per-row
     determinism) so downstream feature extraction is fully testable.
     """
-    if STRICT_DECODE:
+    if STRICT_DECODE if strict is None else strict:
         raise NotImplementedError(
             "image decode requires PIL/libjpeg — not available in this "
             "container; deterministic fake used in tests instead"
@@ -67,7 +69,9 @@ def _decode_stub(payload: bytes, width: int, height: int, channels: int) -> np.n
     return flat.reshape(height, width, channels)
 
 
-def decode_features(media: DataFrame, batch_docs: int = 1024) -> DataFrame:
+def decode_features(
+    media: DataFrame, batch_docs: int = 1024, strict: bool | None = None
+) -> DataFrame:
     """decode → feature-extract as a mapInPandas operator.
 
     Emits per-doc features: mean/std per channel + a 16-bin intensity
@@ -88,7 +92,11 @@ def decode_features(media: DataFrame, batch_docs: int = 1024) -> DataFrame:
                 pdf["doc_id"], pdf["payload"], metas
             ):
                 img = _decode_stub(
-                    bytes(payload), meta["width"], meta["height"], meta["n_channels"]
+                    bytes(payload),
+                    meta["width"],
+                    meta["height"],
+                    meta["n_channels"],
+                    strict,
                 )
                 means = img.mean(axis=(0, 1))
                 hist, _ = np.histogram(img, bins=16, range=(0, 256))

@@ -58,7 +58,10 @@ def run_file_stream_once(
     harness): parquet files appearing in `input_dir` are the micro-batches.
     Returns the materialized result as a batch DataFrame."""
     stream = (
-        spark.readStream.schema(schema).parquet(input_dir)
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch,
+        # ordered by modification time → deterministic watermark progression
+        .parquet(input_dir)
     )
     agg = stream_raw_tier(stream, late_threshold)
     q = (

@@ -43,14 +43,8 @@ def test_decode_features_batch_shape(spark, media):
 
 
 def test_decode_strict_mode_raises(spark, media):
-    import kfts_insar_spark.operators.multimodal as mm
-
-    try:
-        mm.STRICT_DECODE = True
-        with pytest.raises(Exception, match="NotImplementedError|decode"):
-            decode_features(media.limit(2)).collect()
-    finally:
-        mm.STRICT_DECODE = False
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_features(media.limit(2), strict=True).collect()
 
 
 def test_resize_stub_shapes(spark, media):
@@ -68,17 +62,29 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
         "doc_id", "n_tok", "source", "ingest_ts", "ingest_es"
     )
     inp = str(tmp_path / "in")
-    # two micro-batches split by time (simulating arriving files)
-    cut = seq.approxQuantile("ingest_es", [0.5], 0)[0]
-    seq.filter(F.col("ingest_es") <= cut).write.parquet(inp + "/b0")
-    seq.filter(F.col("ingest_es") > cut).write.parquet(inp + "/b1")
+    data = seq.drop("ingest_es")
+    data.coalesce(1).write.parquet(inp + "/b0")
+    import time
+
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    # sentinel row far in the future: pushes the watermark past every real
+    # window so append mode finalizes them (standard stream-closing trick)
+    hi = seq.agg(F.max("ingest_es")).first()[0]
+    sentinel_es = (hi // 86400 + 30) * 86400
+    spark.createDataFrame(
+        [("___sentinel", 1, "___s", None)], data.schema
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(sentinel_es))
+    ).write.parquet(inp + "/b1")
     streamed = run_file_stream_once(
         spark,
         inp + "/*",
         str(tmp_path / "ckpt"),
-        schema=seq.drop("ingest_es").schema,
+        schema=data.schema,
     )
-    got = sorted(tuple(r) for r in streamed.collect())
+    got = sorted(
+        tuple(r) for r in streamed.filter(F.col("source") != "___s").collect()
+    )
     want = sorted(
         tuple(r)
         for r in rollup_raw(sequences(spark, 1500))
