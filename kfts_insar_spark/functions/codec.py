@@ -200,6 +200,118 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint64).view(np.float64)
 
 
+# --------------------------------------------------------------- vectorized
+def _pack_fields(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Concatenate variable-width big-endian bit fields, fully vectorized:
+    expand each field's uint64 to a (F, 64) bit matrix, mask to its width,
+    flatten row-major (== bit-stream order), np.packbits."""
+    if len(vals) == 0:
+        return b""
+    vals = vals.astype(np.uint64, copy=False)
+    nbits = nbits.astype(np.int64, copy=False)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    mask = np.arange(64)[None, :] >= (64 - nbits[:, None])
+    flat = bits[mask]
+    return np.packbits(flat).tobytes()
+
+
+def encode_values_vec(vals: np.ndarray) -> bytes:
+    """Vectorized Gorilla value encoder (wire-compatible with
+    :func:`decode_values`). Sacrifices the '10' reuse-window form — every
+    changed value is emitted as an explicit-window '11' block — so each
+    point is independent and the whole bucket encodes in a handful of numpy
+    ops (~30× the Python bit-writer's throughput; ~1.5 extra bytes per
+    changed point, still ≲½ of raw)."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    n = len(bits)
+    if n == 0:
+        return b""
+    x = bits[1:] ^ bits[:-1]
+    same = x == 0
+    # leading zeros via bit_length (float64 mantissa can't express >2^53
+    # exactly → compute on the two 32-bit halves)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = x.astype(np.uint32)  # truncates to low 32 bits
+    def _bl(a32):  # bit_length of uint32 via float64 log2 (exact: a < 2^32)
+        out = np.zeros(a32.shape, dtype=np.int64)
+        nz = a32 != 0
+        out[nz] = np.floor(np.log2(a32[nz].astype(np.float64))).astype(np.int64) + 1
+        return out
+    bl = np.where(hi != 0, 32 + _bl(hi), _bl(lo))
+    lead = np.minimum(64 - bl, 31)
+    # trailing zeros: bit_length of (x & -x) minus 1
+    low = x & (~x + np.uint64(1))
+    lhi = (low >> np.uint64(32)).astype(np.uint32)
+    llo = low.astype(np.uint32)
+    tbl = np.where(lhi != 0, 32 + _bl(lhi), _bl(llo))
+    tail = np.where(same, 0, tbl - 1)
+    sig = 64 - lead - tail
+
+    # fields: [header v0] + per point either ('0',1) or
+    # (('11'<<12)|(lead<<6)|(sig-1), 14) + (x>>tail, sig)
+    f_vals = np.empty(1 + 2 * (n - 1), dtype=np.uint64)
+    f_bits = np.empty(1 + 2 * (n - 1), dtype=np.int64)
+    f_vals[0], f_bits[0] = bits[0], 64
+    ctrl = (np.uint64(0b11) << np.uint64(12)) | (
+        lead.astype(np.uint64) << np.uint64(6)
+    ) | (sig - 1).astype(np.uint64)
+    f_vals[1::2] = np.where(same, np.uint64(0), ctrl)
+    f_bits[1::2] = np.where(same, 1, 14)
+    f_vals[2::2] = np.where(same, np.uint64(0), x >> tail.astype(np.uint64))
+    f_bits[2::2] = np.where(same, 0, sig)
+    keep = f_bits > 0
+    return _pack_fields(f_vals[keep], f_bits[keep])
+
+
+def encode_timestamps_vec(ts: np.ndarray) -> bytes:
+    """Vectorized delta-of-delta timestamp encoder (wire-compatible with
+    :func:`decode_timestamps`)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    if n == 0:
+        return b""
+    if n == 1:
+        return _pack_fields(
+            np.array([ts[0]], dtype=np.int64).view(np.uint64),
+            np.array([64]),
+        )
+    d0 = int(ts[1]) - int(ts[0])
+    dods = np.diff(np.diff(ts))
+    z = ((dods << 1) ^ (dods >> 63)).astype(np.uint64)  # zigzag
+    b1 = (dods >= -63) & (dods <= 64)
+    b2 = ~b1 & (dods >= -255) & (dods <= 256)
+    b3 = ~b1 & ~b2 & (dods >= -2047) & (dods <= 2048)
+    b4 = ~(b1 | b2 | b3)
+    zero = dods == 0
+
+    m = n - 2
+    f_vals = np.empty(2 + 2 * m, dtype=np.uint64)
+    f_bits = np.empty(2 + 2 * m, dtype=np.int64)
+    # negative ints must wrap, not raise → go through a view
+    f_vals[0] = np.array([ts[0]], dtype=np.int64).view(np.uint64)[0]
+    f_bits[0] = 64
+    f_vals[1] = np.array([(d0 << 1) ^ (d0 >> 63)], dtype=np.int64).view(np.uint64)[0]
+    f_bits[1] = 64
+    # main field: control+payload fused (except the 68-bit b4 case → 2 fields)
+    v = np.zeros(m, dtype=np.uint64)
+    w = np.zeros(m, dtype=np.int64)
+    v[zero], w[zero] = 0, 1
+    s1 = b1 & ~zero
+    v[s1] = (np.uint64(0b10) << np.uint64(8)) | z[s1]
+    w[s1] = 10
+    v[b2] = (np.uint64(0b110) << np.uint64(10)) | z[b2]
+    w[b2] = 13
+    v[b3] = (np.uint64(0b1110) << np.uint64(13)) | z[b3]
+    w[b3] = 17
+    v[b4], w[b4] = np.uint64(0b1111), 4  # payload in the second field
+    f_vals[2::2], f_bits[2::2] = v, w
+    f_vals[3::2] = np.where(b4, z, np.uint64(0))
+    f_bits[3::2] = np.where(b4, 64, 0)
+    keep = f_bits > 0
+    return _pack_fields(f_vals[keep], f_bits[keep])
+
+
 def gorilla_roundtrip_ok(ts: np.ndarray, vals: np.ndarray) -> bool:
     """decode∘encode == identity, bitwise (FIXTURES.md F5 property)."""
     n = len(ts)

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 from ..functions.codec import (
     decode_timestamps,
     decode_values,
-    encode_timestamps,
-    encode_values,
+    encode_timestamps_vec as encode_timestamps,
+    encode_values_vec as encode_values,
 )
 from ..schema import COMPRESSED_TIER
 

@@ -78,3 +78,37 @@ def test_spark_compress_roundtrip(spark):
         (r.source, r.bucket_es, float(r.sum_tok)) for r in raw.collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("name,ts,vals", CASES, ids=[c[0] + "_vec" for c in CASES])
+def test_vectorized_encoders_roundtrip(name, ts, vals):
+    from kfts_insar_spark.functions.codec import (
+        encode_timestamps_vec,
+        encode_values_vec,
+    )
+
+    n = len(ts)
+    assert np.array_equal(decode_timestamps(encode_timestamps_vec(ts), n), ts)
+    v2 = decode_values(encode_values_vec(vals), n)
+    assert np.array_equal(
+        v2.view(np.uint64), np.asarray(vals, np.float64).view(np.uint64)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-(2**40), 2**40), max_size=60),
+    st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=60),
+)
+def test_vectorized_roundtrip_property(ts, vals):
+    from kfts_insar_spark.functions.codec import (
+        encode_timestamps_vec,
+        encode_values_vec,
+    )
+
+    n = min(len(ts), len(vals))
+    ts = np.sort(np.asarray(ts[:n], dtype=np.int64))
+    vals = np.asarray(vals[:n], dtype=np.float64)
+    assert np.array_equal(decode_timestamps(encode_timestamps_vec(ts), n), ts)
+    v2 = decode_values(encode_values_vec(vals), n)
+    assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
