@@ -312,6 +312,153 @@ def encode_timestamps_vec(ts: np.ndarray) -> bytes:
     return _pack_fields(f_vals[keep], f_bits[keep])
 
 
+# ------------------------------------------------------- chunked vectorized
+def _emit_chunked(
+    f_vals: np.ndarray,
+    f_bits: np.ndarray,
+    point_of_field: np.ndarray,
+    starts: np.ndarray,
+    n_points: int,
+) -> list[bytes]:
+    """Pack per-point variable fields for MANY chunks in ONE packbits call:
+    pad each chunk's bit stream to a byte boundary, pack the concatenation,
+    slice the result by per-chunk byte offsets. Removes the per-chunk fixed
+    cost that dominates when chunks are small (measured ~0.6 ms/chunk with
+    per-chunk encode calls vs ~µs here)."""
+    keep = f_bits > 0
+    f_vals, f_bits = f_vals[keep], f_bits[keep]
+    pof = point_of_field[keep]
+    # bits per chunk
+    chunk_of_field = np.searchsorted(starts, pof, side="right") - 1
+    C = len(starts)
+    bits_per_chunk = np.bincount(chunk_of_field, weights=f_bits, minlength=C).astype(
+        np.int64
+    )
+    pad = (-bits_per_chunk) % 8
+    # append one pad field at the end of each chunk's field run
+    ends = np.searchsorted(chunk_of_field, np.arange(C), side="right")
+    ins_vals = np.zeros(C, dtype=np.uint64)
+    f_vals = np.insert(f_vals, ends, ins_vals)
+    f_bits = np.insert(f_bits, ends, pad)
+    keep2 = f_bits > 0
+    packed = _pack_fields(f_vals[keep2], f_bits[keep2])
+    nbytes = ((bits_per_chunk + pad) // 8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    return [packed[offs[c] : offs[c + 1]] for c in range(C)]
+
+
+def encode_values_chunked(vals: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Vectorized Gorilla value encoding of MANY chunks at once.
+    ``starts`` = sorted start indices of each chunk in ``vals``.
+    Wire-compatible with :func:`decode_values` per chunk."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    N = len(bits)
+    starts = np.asarray(starts, dtype=np.int64)
+    if N == 0:
+        return [b""] * len(starts)
+    first = np.zeros(N, dtype=bool)
+    first[starts] = True
+    prev = np.empty_like(bits)
+    prev[1:] = bits[:-1]
+    prev[0] = 0
+    x = bits ^ prev
+    x[first] = 0
+    same = (x == 0) & ~first
+
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = x.astype(np.uint32)
+
+    def _bl(a32):
+        out = np.zeros(a32.shape, dtype=np.int64)
+        nz = a32 != 0
+        out[nz] = np.floor(np.log2(a32[nz].astype(np.float64))).astype(np.int64) + 1
+        return out
+
+    bl = np.where(hi != 0, 32 + _bl(hi), _bl(lo))
+    lead = np.minimum(64 - bl, 31)
+    low = x & (~x + np.uint64(1))
+    lhi = (low >> np.uint64(32)).astype(np.uint32)
+    llo = low.astype(np.uint32)
+    tail = np.where(same | first, 0, _bl_pair(lhi, llo, _bl) - 1)
+    sig = 64 - lead - tail
+
+    ctrl = (
+        (np.uint64(0b11) << np.uint64(12))
+        | (lead.astype(np.uint64) << np.uint64(6))
+        | (sig - 1).astype(np.uint64)
+    )
+    f_vals = np.empty(2 * N, dtype=np.uint64)
+    f_bits = np.zeros(2 * N, dtype=np.int64)
+    # slot 0: header | '0' | ctrl
+    f_vals[0::2] = np.where(first, bits, np.where(same, np.uint64(0), ctrl))
+    f_bits[0::2] = np.where(first, 64, np.where(same, 1, 14))
+    # slot 1: significant bits (changed values only)
+    changed = ~first & ~same
+    f_vals[1::2] = np.where(changed, x >> tail.astype(np.uint64), np.uint64(0))
+    f_bits[1::2] = np.where(changed, sig, 0)
+    pof = np.repeat(np.arange(N), 2)
+    return _emit_chunked(f_vals, f_bits, pof, starts, N)
+
+
+def _bl_pair(hi32, lo32, _bl):
+    return np.where(hi32 != 0, 32 + _bl(hi32), _bl(lo32))
+
+
+def encode_timestamps_chunked(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Vectorized delta-of-delta encoding of MANY chunks at once."""
+    ts = np.asarray(ts, dtype=np.int64)
+    N = len(ts)
+    starts = np.asarray(starts, dtype=np.int64)
+    if N == 0:
+        return [b""] * len(starts)
+    idx_in_chunk = np.arange(N) - starts[
+        np.searchsorted(starts, np.arange(N), side="right") - 1
+    ]
+    first = idx_in_chunk == 0
+    second = idx_in_chunk == 1
+
+    d = np.empty(N, dtype=np.int64)
+    d[1:] = ts[1:] - ts[:-1]
+    d[0] = 0
+    d[first] = 0
+    dod = np.empty(N, dtype=np.int64)
+    dod[1:] = d[1:] - d[:-1]
+    dod[0] = 0
+
+    z = ((dod << 1) ^ (dod >> 63)).astype(np.uint64)
+    zd = ((d << 1) ^ (d >> 63)).astype(np.uint64)
+    rest = ~first & ~second
+    zero = rest & (dod == 0)
+    b1 = rest & ~zero & (dod >= -63) & (dod <= 64)
+    b2 = rest & (dod >= -255) & (dod <= 256) & ~zero & ~b1
+    b3 = rest & (dod >= -2047) & (dod <= 2048) & ~zero & ~b1 & ~b2
+    b4 = rest & ~zero & ~b1 & ~b2 & ~b3
+
+    v0 = np.zeros(N, dtype=np.uint64)
+    w0 = np.zeros(N, dtype=np.int64)
+    v0[first] = ts.view(np.uint64)[first]
+    w0[first] = 64
+    v0[second] = zd[second]
+    w0[second] = 64
+    w0[zero] = 1
+    v0[b1] = (np.uint64(0b10) << np.uint64(8)) | z[b1]
+    w0[b1] = 10
+    v0[b2] = (np.uint64(0b110) << np.uint64(10)) | z[b2]
+    w0[b2] = 13
+    v0[b3] = (np.uint64(0b1110) << np.uint64(13)) | z[b3]
+    w0[b3] = 17
+    v0[b4] = np.uint64(0b1111)
+    w0[b4] = 4
+
+    f_vals = np.empty(2 * N, dtype=np.uint64)
+    f_bits = np.zeros(2 * N, dtype=np.int64)
+    f_vals[0::2], f_bits[0::2] = v0, w0
+    f_vals[1::2] = np.where(b4, z, np.uint64(0))
+    f_bits[1::2] = np.where(b4, 64, 0)
+    pof = np.repeat(np.arange(N), 2)
+    return _emit_chunked(f_vals, f_bits, pof, starts, N)
+
+
 def gorilla_roundtrip_ok(ts: np.ndarray, vals: np.ndarray) -> bool:
     """decode∘encode == identity, bitwise (FIXTURES.md F5 property)."""
     n = len(ts)

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 from ..functions.codec import (
     decode_timestamps,
     decode_values,
-    encode_timestamps_vec as encode_timestamps,
-    encode_values_vec as encode_values,
+    encode_timestamps_chunked,
+    encode_values_chunked,
 )
 from ..schema import COMPRESSED_TIER
 
@@ -29,26 +29,42 @@ def compress_tier(
     tier: DataFrame,
     value_col: str = "sum_tok",
     chunk_seconds: int = CHUNK_SECONDS,
+    num_buckets: int = 256,
 ) -> DataFrame:
-    """tier(source, bucket_es, <value_col>, …) → COMPRESSED_TIER rows."""
+    """tier(source, bucket_es, <value_col>, …) → COMPRESSED_TIER rows.
+
+    Grouping key is a coarse hash bucket of (source, chunk) — NOT the chunk
+    itself — so each applyInPandas call packs thousands of chunks through
+    the chunk-vectorized encoders (one packbits per stream per call). A
+    per-chunk grouping pays ~0.3 ms of pandas overhead per call, which
+    dominates everything when chunks are small."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (src, chunk), g in pdf.groupby(["source", "_chunk"], sort=False):
-            g = g.sort_values("bucket_es")
-            ts = g["bucket_es"].to_numpy(np.int64)
-            vals = g["_v"].to_numpy(np.float64)
-            out.append(
-                (
-                    src,
-                    int(chunk),
-                    len(ts),
-                    encode_timestamps(ts),
-                    encode_values(vals),
-                )
-            )
+        # vectorized across ALL chunks in the group: one lexsort, one
+        # boundary scan, one packbits per stream — per-chunk Python cost
+        # (pandas groupby slices + per-chunk encoders) dominated when chunks
+        # are small (measured 0.6 ms/chunk → ~µs/chunk here)
+        src = pdf["source"].to_numpy()
+        chunk = pdf["_chunk"].to_numpy(np.int64)
+        ts = pdf["bucket_es"].to_numpy(np.int64)
+        vals = pdf["_v"].to_numpy(np.float64)
+        order = np.lexsort((ts, chunk, src))
+        src, chunk, ts, vals = src[order], chunk[order], ts[order], vals[order]
+        boundary = np.empty(len(src), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (src[1:] != src[:-1]) | (chunk[1:] != chunk[:-1])
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, len(src)))
+        ts_codecs = encode_timestamps_chunked(ts, starts)
+        val_codecs = encode_values_chunked(vals, starts)
         return pd.DataFrame(
-            out, columns=["source", "bucket_es", "n_points", "ts_codec", "val_codec"]
+            {
+                "source": src[starts],
+                "bucket_es": chunk[starts],
+                "n_points": counts.astype(np.int32),
+                "ts_codec": ts_codecs,
+                "val_codec": val_codecs,
+            }
         )
 
     chunked = tier.select(
@@ -59,9 +75,10 @@ def compress_tier(
         .cast("long")
         .alias("_chunk"),
     )
-    return chunked.groupBy("source", "_chunk").applyInPandas(
-        pack, schema=COMPRESSED_TIER
+    bucketed = chunked.withColumn(
+        "_b", F.pmod(F.xxhash64("source", "_chunk"), F.lit(num_buckets))
     )
+    return bucketed.groupBy("_b").applyInPandas(pack, schema=COMPRESSED_TIER)
 
 
 def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:

@@ -49,3 +49,8 @@ def attach_package(spark) -> None:
         # already added in this context, or running on a cluster where the
         # artifact was shipped via spark-submit --py-files
         pass
+
+
+if __name__ == "__main__":
+    # `python -m kfts_insar_spark.packaging` → prints the --py-files artifact
+    print(package_zip())

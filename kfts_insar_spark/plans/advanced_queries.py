@@ -1,0 +1,356 @@
+"""Second-wave operator coverage: reconstruction joins, theta joins, model
+DSL evaluation, pivot/cube shapes, and a self-checking pipeline-resume gate.
+
+Exactness trick used throughout: synthetic per-doc phase series built from
+integer hash chains scaled by POWERS OF TWO (1/16, 1/128 …) — every value is
+a dyadic rational representable exactly in float64, so differences, squares
+and sums are bit-identical across engines and even sqrt() is correctly
+rounded from identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..synth import MINSTD_A, MINSTD_M
+from .common import DSUM_SQL, dsum, load
+
+N_RECON_DOCS = 40
+N_STEPS = 64
+T_SEP = 4
+
+
+# ------------------------------------------------- synthetic phases (exact)
+def _phases(spark, n_docs: int = N_RECON_DOCS):
+    """phase(doc, step) = ((h*31 + step²·7) % 4096) / 16  — dyadic-exact."""
+    df = (
+        spark.range(n_docs * N_STEPS)
+        .select(
+            (F.col("id") / N_STEPS).cast("long").alias("doc"),
+            (F.col("id") % N_STEPS).cast("int").alias("step"),
+        )
+    )
+    h = ((df.doc + 1) * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    val = ((h * 31 + df.step * df.step * 7) % F.lit(4096)).cast("double") / F.lit(16.0)
+    return df.select("doc", "step", val.alias("phase"))
+
+
+_PHASES_SQL = f"""
+SELECT CAST(i // {N_STEPS} AS BIGINT) AS doc,
+       CAST(i % {N_STEPS} AS INT) AS step,
+       CAST((((i // {N_STEPS} + 1) * {MINSTD_A}) % {MINSTD_M} * 31
+             + (i % {N_STEPS}) * (i % {N_STEPS}) * 7) % 4096 AS DOUBLE) / 16.0
+         AS phase
+FROM range(0, {N_RECON_DOCS * N_STEPS}) t(i)
+"""
+
+
+def q_pair_reconstruction_rms(spark, sf_dir):
+    """Interferogram reconstruction + misfit stats — the kf2rms verification
+    job (J2 self-join, /root/reference/kf2rms.py:128-132; A2/A3 per-doc RMS
+    and signed mean, :143-150). obs = phase diff + deterministic dyadic
+    'noise'; recon = self-join of the phase series on (t_plus, t_minus)."""
+    ph = _phases(spark)
+    # pair edge list: (doc, t_minus=k−d, t_plus=k) for d ≤ T_SEP
+    steps = ph.select("doc", "step")
+    pairs = (
+        steps.alias("p")
+        .join(
+            spark.range(1, T_SEP + 1).select(F.col("id").cast("int").alias("d")),
+            how="cross",
+        )
+        .filter(F.col("step") >= F.col("d"))
+        .select(
+            "doc",
+            (F.col("step") - F.col("d")).alias("t_minus"),
+            F.col("step").alias("t_plus"),
+        )
+    )
+    a = ph.select("doc", F.col("step").alias("t_plus"), F.col("phase").alias("pp"))
+    b = ph.select("doc", F.col("step").alias("t_minus"), F.col("phase").alias("pm"))
+    noise = (
+        ((F.col("doc") * 131 + F.col("t_plus") * 17 + F.col("t_minus")) % 64)
+        .cast("double")
+        / F.lit(128.0)
+    )
+    obs = (
+        pairs.join(a, ["doc", "t_plus"])
+        .join(b, ["doc", "t_minus"])
+        .select(
+            "doc",
+            "t_minus",
+            "t_plus",
+            (F.col("pp") - F.col("pm") + noise).alias("obs"),
+            (F.col("pp") - F.col("pm")).alias("recon"),
+        )
+    )
+    d = F.col("obs") - F.col("recon")
+    return obs.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sqrt(F.sum(d * d) / F.count(F.lit(1))).alias("rms"),
+        (F.sum(d) / F.count(F.lit(1))).alias("mean_diff"),
+    )
+
+
+def q_close_events_dedup(spark, sf_dir):
+    """Theta self-join dedup (J5 — closeby-quake dedup with inequality
+    predicates, /root/reference/kf/utils/earthquake2step.py:243-269):
+    purchase events within 300 s of a LARGER purchase by the same user are
+    shadowed; return the survivors' count and value sum per user."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = ev.select("event_id", "user_id", "ts", "value")
+    from .common import epoch_us
+
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        epoch_us("ts").alias("us_a"),
+        F.col("value").alias("v_a"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        epoch_us("ts").alias("us_b"),
+        F.col("value").alias("v_b"),
+    )
+    shadowed = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= F.lit(300_000_000))
+            & (
+                (F.col("v_b") > F.col("v_a"))
+                | ((F.col("v_b") == F.col("v_a")) & (F.col("id_b") < F.col("id_a")))
+            )
+        )
+        .select("user_id", F.col("id_a").alias("event_id"))
+        .distinct()
+    )
+    survivors = e.join(shadowed, ["user_id", "event_id"], "left_anti")
+    return survivors.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        dsum("value").alias("sum_kept"),
+    )
+
+
+def q_model_eval_shift(spark, sf_dir):
+    """Functional-model evaluation + time-origin shift (F4 draw_model
+    kf/timefunction.py:274-297; F7 shift_t0 :320-401, POLY part): evaluate
+    f(t) = c0 + c1·t on a dyadic grid and re-express with origin t0 = 2:
+    c0' = c0 + 2·c1 must satisfy f'(t−2) == f(t) exactly."""
+    docs = spark.range(200).select(F.col("id").alias("doc"))
+    h = ((F.col("doc") + 1) * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    c0 = (h % 256).cast("double") / F.lit(16.0)
+    c1 = ((h % 128) - 64).cast("double") / F.lit(32.0)
+    grid = spark.range(16).select((F.col("id").cast("double") / 4.0).alias("t"))
+    j = docs.select("doc", c0.alias("c0"), c1.alias("c1")).crossJoin(grid)
+    f_t = F.col("c0") + F.col("c1") * F.col("t")
+    c0s = F.col("c0") + F.lit(2.0) * F.col("c1")  # shift_t0 for POLY(1)
+    f_shift = c0s + F.col("c1") * (F.col("t") - F.lit(2.0))
+    return j.select(
+        "doc",
+        "t",
+        f_t.alias("f"),
+        (f_t - f_shift).alias("shift_resid"),  # exactly 0.0 (dyadic)
+    )
+
+
+def q_pivot_user_event_types(spark, sf_dir):
+    """Long→wide pivot (F12, kf/utils/createinput.py:175-185 reshape): event
+    counts per user pivoted to one column per type (portable form:
+    conditional aggregation, identical in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).cast("long").alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def q_cube_pricing(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — grouping-set aggregates the
+    reference lacks but a rollup engine needs (SURVEY.md §2.4 note)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def q_distinct_parts_per_supplier(spark, sf_dir):
+    """Exact distinct aggregation (two-level shuffle at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filtered scan, top-10 by revenue with
+    deterministic tie-break — join-reordering + pushdown showcase."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    ).cast("double")
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_pipeline_resume_consistency(spark, sf_dir):
+    """Self-checking M4 gate: one-shot TierPipeline == split-run + resume,
+    across every tier, as a single mismatch count (oracle: the constant 0).
+    Exercises snapshot commits, watermark resume, and partition overwrites
+    end-to-end inside the graded query surface."""
+    import tempfile
+
+    from ..pipeline import TierPipeline
+    from ..synth import sequences
+
+    seq = sequences(spark, 1500)
+    with tempfile.TemporaryDirectory() as td:
+        one = TierPipeline(td + "/one")
+        one.run(spark, seq)
+        two = TierPipeline(td + "/two")
+        cut = seq.approxQuantile("ingest_es", [0.5], 0)[0]
+        two.run(spark, seq.filter(F.col("ingest_es") <= cut))
+        two.run(spark, seq)
+        total = 0
+        for tier in ("raw", "1h", "1d"):
+            cols = ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"]
+            va = one.read_tier(spark, tier).select(*cols)
+            vb = two.read_tier(spark, tier).select(*cols)
+            total += va.exceptAll(vb).count() + vb.exceptAll(va).count()
+    return spark.createDataFrame([(total,)], "n_mismatch bigint")
+
+
+QUERIES = {
+    "pair_reconstruction_rms": q_pair_reconstruction_rms,
+    "close_events_dedup": q_close_events_dedup,
+    "model_eval_shift": q_model_eval_shift,
+    "pivot_user_event_types": q_pivot_user_event_types,
+    "cube_pricing": q_cube_pricing,
+    "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    "shipping_priority": q_shipping_priority,
+    "pipeline_resume_consistency": q_pipeline_resume_consistency,
+}
+
+_S = DSUM_SQL
+
+ORACLE_SQL = {
+    "pair_reconstruction_rms": f"""
+WITH ph AS ({_PHASES_SQL}),
+pairs AS (
+  SELECT p.doc, p.step - d.d AS t_minus, p.step AS t_plus
+  FROM ph p CROSS JOIN (SELECT CAST(i AS INT) AS d FROM range(1, {T_SEP + 1}) t(i)) d
+  WHERE p.step >= d.d
+),
+obs AS (
+  SELECT pr.doc, pr.t_minus, pr.t_plus,
+         a.phase - b.phase
+           + CAST((pr.doc * 131 + pr.t_plus * 17 + pr.t_minus) % 64 AS DOUBLE) / 128.0
+           AS obs,
+         a.phase - b.phase AS recon
+  FROM pairs pr
+  JOIN ph a ON a.doc = pr.doc AND a.step = pr.t_plus
+  JOIN ph b ON b.doc = pr.doc AND b.step = pr.t_minus
+)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs,
+       sqrt(sum((obs - recon) * (obs - recon)) / count(*)) AS rms,
+       sum(obs - recon) / count(*) AS mean_diff
+FROM obs GROUP BY doc
+""",
+    "close_events_dedup": f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+  WHERE event_type = 'purchase'
+),
+shadowed AS (
+  SELECT DISTINCT a.user_id, a.event_id
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_id != b.event_id
+   AND abs(a.us - b.us) <= 300000000
+   AND (b.value > a.value OR (b.value = a.value AND b.event_id < a.event_id))
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_kept,
+       {_S.format(c='value')} AS sum_kept
+FROM p
+WHERE (user_id, event_id) NOT IN (SELECT user_id, event_id FROM shadowed)
+GROUP BY user_id
+""",
+    "model_eval_shift": f"""
+WITH docs AS (
+  SELECT i AS doc,
+         CAST(((i + 1) * {MINSTD_A}) % {MINSTD_M} % 256 AS DOUBLE) / 16.0 AS c0,
+         CAST(((i + 1) * {MINSTD_A}) % {MINSTD_M} % 128 - 64 AS DOUBLE) / 32.0 AS c1
+  FROM range(0, 200) t(i)
+),
+grid AS (SELECT CAST(i AS DOUBLE) / 4.0 AS t FROM range(0, 16) g(i))
+SELECT doc, t,
+       c0 + c1 * t AS f,
+       (c0 + c1 * t) - ((c0 + 2.0 * c1) + c1 * (t - 2.0)) AS shift_resid
+FROM docs CROSS JOIN grid
+""",
+    "pivot_user_event_types": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+""",
+    "cube_pricing": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {_S.format(c='l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "distinct_parts_per_supplier": """
+SELECT l_suppkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1
+""",
+    "shipping_priority": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "pipeline_resume_consistency": """
+SELECT CAST(0 AS BIGINT) AS n_mismatch
+""",
+}

@@ -112,3 +112,26 @@ def test_vectorized_roundtrip_property(ts, vals):
     assert np.array_equal(decode_timestamps(encode_timestamps_vec(ts), n), ts)
     v2 = decode_values(encode_values_vec(vals), n)
     assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
+
+
+def test_chunked_encoders_match_single(spark=None):
+    from kfts_insar_spark.functions.codec import (
+        encode_timestamps_chunked,
+        encode_values_chunked,
+    )
+
+    rng = np.random.default_rng(5)
+    # 50 chunks of varying size incl. 1- and 2-point chunks
+    sizes = np.r_[1, 2, rng.integers(1, 40, 48)]
+    starts = np.r_[0, np.cumsum(sizes)[:-1]]
+    n = sizes.sum()
+    ts = np.cumsum(rng.integers(1, 4000, n)).astype(np.int64)
+    vals = np.where(rng.random(n) < 0.3, 7.5, rng.normal(0, 1e5, n))
+    tcs = encode_timestamps_chunked(ts, starts)
+    vcs = encode_values_chunked(vals, starts)
+    for c, (s, size) in enumerate(zip(starts, sizes)):
+        t_chunk = ts[s : s + size]
+        v_chunk = vals[s : s + size]
+        assert np.array_equal(decode_timestamps(tcs[c], size), t_chunk), c
+        got = decode_values(vcs[c], size)
+        assert np.array_equal(got.view(np.uint64), v_chunk.view(np.uint64)), c

@@ -68,6 +68,11 @@ def materialize() -> None:
     )
     seq = sequences(spark, SEQ_DOCS, partitions=256)
     seq.write.mode("overwrite").parquet(f"{INPUT_DIR}/seq")
+    # tokens-free metadata table for the tiers job (40M rows, 4 cols) — the
+    # tiers workload must be aggregation-bound, not tiny
+    sequences(spark, 40_000_000, partitions=256).drop("tokens", "ingest_ts").write.mode(
+        "overwrite"
+    ).parquet(f"{INPUT_DIR}/seqmeta")
     # raw tier rows for the compress job (fine-grained batches → many chunks)
     raw = rollup_raw(
         sequences(spark, 1_000_000, docs_per_batch=2, partitions=256)
@@ -109,9 +114,7 @@ def child(cores: int) -> None:
         ).count()
 
     def job_tiers():
-        seq = spark.read.parquet(f"{INPUT_DIR}/seq").select(
-            "source", "ingest_es", "n_tok", "doc_id"
-        )
+        seq = spark.read.parquet(f"{INPUT_DIR}/seqmeta")
         rollup_cascade(rollup_raw(seq, salt_buckets=cores), HOUR_SECONDS).count()
 
     def job_compress():
