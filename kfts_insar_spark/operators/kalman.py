@@ -685,6 +685,53 @@ def _stack_values(col: np.ndarray, M: int) -> np.ndarray:
     return vals
 
 
+def kalman_pairs(
+    pairs: DataFrame,
+    t_grid: np.ndarray,
+    cfg: KFConfig | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Spark execution of the pairs (interferogram) mode: the edge-list
+    observations of the reference (J1 measurement selection,
+    kf/KF_class.py:182-248), grouped per doc-hash bucket, exact per-doc
+    recursion via :func:`kalman_pairs_doc`.
+
+    pairs(doc_id, obs_id, t_minus, t_plus, obs_value) → KF_OUTPUT rows.
+    """
+    cfg = cfg or KFConfig()
+    t_grid = np.asarray(t_grid, dtype=np.float64)
+    M = len(t_grid)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for doc, g in pdf.groupby("doc_id", sort=False):
+            arr = g[["t_minus", "t_plus", "obs_value"]].to_numpy(np.float64)
+            res = kalman_pairs_doc(arr, t_grid, cfg)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc,
+                        "step": np.arange(M, dtype=np.int32),
+                        "t": t_grid,
+                        "phase": res["phase"],
+                        "std": res["std"],
+                        "innov": res["innov"],
+                        "gap_filled": ~np.isfinite(res["innov"]),
+                    }
+                )
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=[f.name for f in KF_OUTPUT.fields])
+        )
+
+    bucketed = pairs.withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+    )
+    return bucketed.groupBy("_b").applyInPandas(run, schema=KF_OUTPUT)
+
+
 def explode_kf_output(wide: DataFrame, t_grid: np.ndarray) -> DataFrame:
     """(doc_id, phase[], std[], innov[], gap[]) → long KF_OUTPUT rows,
     entirely JVM-side (posexplode + array literal for t)."""

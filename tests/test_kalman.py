@@ -238,3 +238,32 @@ def test_aligned_path_matches_grouped(spark):
     np.testing.assert_allclose(
         a["std"].to_numpy(), b["std"].to_numpy(), rtol=1e-9, atol=1e-9
     )
+
+
+def test_spark_pairs_mode_matches_local(spark):
+    """Spark pairs-mode operator == local per-doc recursion."""
+    from kfts_insar_spark.operators.kalman import kalman_pairs
+
+    truth, _, _, _ = make_series(4, gap_frac=0.0)
+    rng = np.random.default_rng(3)
+    rows = []
+    locals_ = {}
+    for b in range(4):
+        doc = truth[b]
+        prs = []
+        for k in range(1, M):
+            for dlt in range(1, min(CFG.t_sep, k) + 1):
+                prs.append((k - dlt, k, doc[k] - doc[k - dlt] + rng.normal(0, 0.1)))
+        locals_[f"d{b}"] = kalman_pairs_doc(np.array(prs), T, CFG)
+        rows += [
+            (f"d{b}", i, int(tm), int(tp), float(v))
+            for i, (tm, tp, v) in enumerate(prs)
+        ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "obs_id", "t_minus", "t_plus", "obs_value"])
+    )
+    out = kalman_pairs(sdf, T, CFG, num_buckets=2).toPandas()
+    for doc, res in locals_.items():
+        got = out[out.doc_id == doc].sort_values("step")
+        np.testing.assert_allclose(got.phase.to_numpy(), res["phase"], rtol=1e-9)
+        np.testing.assert_allclose(got["std"].to_numpy(), res["std"], rtol=1e-9)

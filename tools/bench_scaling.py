@@ -43,7 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 INPUT_DIR = os.environ.get("SCALE_INPUT_DIR", "/tmp/scale_inputs")
-KF_DOCS = int(os.environ.get("SCALE_KF_DOCS", "640000"))
+KF_DOCS = int(os.environ.get("SCALE_KF_DOCS", "1280000"))
 SEQ_DOCS = int(os.environ.get("SCALE_SEQ_DOCS", "4000000"))
 TRIALS = int(os.environ.get("SCALE_TRIALS", "3"))
 M = 92
@@ -73,9 +73,10 @@ def materialize() -> None:
     sequences(spark, 40_000_000, partitions=256).drop("tokens", "ingest_ts").write.mode(
         "overwrite"
     ).parquet(f"{INPUT_DIR}/seqmeta")
-    # raw tier rows for the compress job (fine-grained batches → many chunks)
+    # raw tier rows for the compress job (fine-grained batches → many chunks;
+    # 24M docs @ 1/batch → ~24M slots → ~50M (source, slot) rows)
     raw = rollup_raw(
-        sequences(spark, 1_000_000, docs_per_batch=2, partitions=256)
+        sequences(spark, 24_000_000, docs_per_batch=1, partitions=256)
     )
     raw.write.mode("overwrite").parquet(f"{INPUT_DIR}/raw")
     spark.stop()
