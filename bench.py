@@ -35,7 +35,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from kfts_insar_spark.operators.compress import compress_tier
-    from kfts_insar_spark.operators.kalman import KFConfig, kalman_gapfill
+    from kfts_insar_spark.operators.kalman import KFConfig, kalman_gapfill_wide
     from kfts_insar_spark.operators.rollup import (
         DAY_SECONDS,
         HOUR_SECONDS,
@@ -49,7 +49,7 @@ def main() -> None:
         q_lineitem_pricing_summary,
     )
     from kfts_insar_spark.session import get_spark
-    from kfts_insar_spark.synth import sequences, series
+    from kfts_insar_spark.synth import sequences, series_wide
 
     sf = sf_of(SF_DIR)
     n_docs = n_docs_of(SF_DIR)
@@ -94,8 +94,9 @@ def main() -> None:
     )
 
     def kalman():
-        ser = series(spark, kf_docs, M, partitions=CPUS * 2)
-        out = kalman_gapfill(ser, t_grid, cfg, num_buckets=CPUS * 4)
+        # wide layout + mapInArrow — the engine's production KF path
+        ser = series_wide(spark, kf_docs, M, partitions=CPUS * 2)
+        out = kalman_gapfill_wide(ser, t_grid, cfg)
         return out.count()
 
     timed("q_kalman", kalman)

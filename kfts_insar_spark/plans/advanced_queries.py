@@ -298,7 +298,10 @@ shadowed AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_kept,
        {_S.format(c='value')} AS sum_kept
 FROM p
-WHERE (user_id, event_id) NOT IN (SELECT user_id, event_id FROM shadowed)
+WHERE NOT EXISTS (
+  SELECT 1 FROM shadowed s
+  WHERE s.user_id = p.user_id AND s.event_id = p.event_id
+)
 GROUP BY user_id
 """,
     "model_eval_shift": f"""

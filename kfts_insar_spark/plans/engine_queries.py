@@ -115,6 +115,21 @@ def q_kf_gapfill_phases(spark, sf_dir):
     return kalman_gapfill(ser, t, cfg, num_buckets=8)
 
 
+def q_kf_innovation_stats(spark, sf_dir):
+    """Innovation whiteness maps (A5, reference checkinnov.py:94-107):
+    mean / median / std / last of the innovation sequence per series, plus
+    gap counts — the engine's own post-hoc QA query over the KF output.
+    Non-SQL-expressible upstream (stateful kernel) → rows-only check."""
+    out = q_kf_gapfill_phases(spark, sf_dir)
+    return out.groupBy("doc_id").agg(
+        F.avg("innov").alias("mean_innov"),
+        F.expr("percentile(innov, 0.5)").alias("med_innov"),
+        F.stddev("innov").alias("std_innov"),
+        F.count("innov").cast("long").alias("n_obs"),
+        F.sum(F.col("gap_filled").cast("long")).cast("long").alias("n_gaps"),
+    )
+
+
 def q_kf_resume_consistency(spark, sf_dir):
     """Self-checking: |oneshot − (run+resume)| summed over every (doc, step)
     must be exactly 0 (reference update-mode test, split_data_4test.py).
@@ -173,6 +188,7 @@ QUERIES = {
     "seq_token_fingerprint": q_seq_token_fingerprint,
     "seq_invariant_violations": q_seq_invariant_violations,
     "kf_gapfill_phases": q_kf_gapfill_phases,  # rows-only
+    "kf_innovation_stats": q_kf_innovation_stats,  # rows-only
     "kf_resume_consistency": q_kf_resume_consistency,
 }
 

@@ -159,17 +159,28 @@ def main() -> None:
     materialize()
     n = int(os.environ.get("SCALE_N", "8"))
     n4 = 4 * n
-    results = {}
-    for cores in (n, n4):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--job", str(cores)],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
-        results[cores] = json.loads(line[len("RESULT "):])
+    rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+    results: dict[int, dict] = {}
+    # interleave A/B rounds and keep per-(job, level) minima across rounds:
+    # this VM shows multi-second one-sided stalls (hypervisor steal time up
+    # to ~12% observed), so any single round can be poisoned at either level
+    for _ in range(rounds):
+        for cores in (n, n4):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--job", str(cores)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+            got = json.loads(line[len("RESULT "):])
+            if cores in results:
+                results[cores] = {
+                    k: min(results[cores][k], got[k]) for k in got
+                }
+            else:
+                results[cores] = got
 
     report = {"cores_n": n, "cores_4n": n4, "jobs": {}}
     for job in results[n]:
