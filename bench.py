@@ -56,6 +56,14 @@ def main() -> None:
     kf_docs = max(500, int(50_000 * sf))
 
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    # steady-state warmup: JIT, codegen and the Python worker pool — we are
+    # benchmarking the engine, not JVM cold start
+    spark.range(5_000_000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    spark.range(10000).mapInPandas(
+        lambda it: (pdf.assign(x=1.0) for pdf in it), schema="id long, x double"
+    ).count()
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
