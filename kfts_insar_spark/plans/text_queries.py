@@ -331,6 +331,50 @@ def q_emb_lsh_buckets(spark, sf_dir):
     return e.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def q_emb_lsh_topk(spark, sf_dir):
+    """ANN scale path: candidates restricted to the query's LSH bucket, then
+    exact quantized cosine rank within the bucket (top-3). At 10^12 vectors
+    the bucket equi-join replaces the all-pairs cross join — this query IS
+    the pruning+verify plan, oracle-checked because the buckets are
+    deterministic integer arithmetic."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    b = q_emb_lsh_buckets(spark, sf_dir)
+    eb = e.join(b, "vec_id")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q_: p * q_),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n = eb.select(
+        "vec_id", "q", "bucket", dot(F.col("q"), F.col("q")).alias("n2")
+    )
+    qs = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("n2").alias("qn2"),
+    )
+    j = n.join(F.broadcast(qs), F.col("bucket") == F.col("qb")).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = dot(F.col("q"), F.col("qv")).cast("double") / F.sqrt(
+        (F.col("n2") * F.col("qn2")).cast("double")
+    )
+    scored = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
 QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_quality_score": q_doc_quality_score,
@@ -497,3 +541,37 @@ SELECT vec_id, CAST((
 FROM q
 """,
 }
+
+QUERIES["emb_lsh_topk"] = q_emb_lsh_topk
+
+# oracle composes the (generated) bucket SQL with in-bucket cosine ranking
+ORACLE_SQL["emb_lsh_topk"] = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (a, v) -> a + v) AS n2
+  FROM q
+),
+b AS ({ORACLE_SQL["emb_lsh_buckets"]}),
+eb AS (SELECT n.vec_id, n.qv, n.n2, b.bucket FROM n JOIN b ON n.vec_id = b.vec_id),
+pairs AS (
+  SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 65),
+                i -> nn.qv[i] * qq.qv[i])), (a, v) -> a + v) AS DOUBLE)
+           / sqrt(CAST(nn.n2 * qq.n2 AS DOUBLE)) AS cos
+  FROM eb nn JOIN (SELECT * FROM eb WHERE vec_id < 10) qq
+    ON nn.bucket = qq.bucket AND nn.vec_id != qq.vec_id
+)
+SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 3
+"""
