@@ -182,6 +182,26 @@ class SnapshotTable:
         kept = [e for e in prev if not predicate(e["partition"])]
         return self._commit(sid, kept, "delete", properties, parent)
 
+    # ------------------------------------------------------------ maintenance
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Delete data files referenced ONLY by snapshots older than the
+        last ``keep_last`` (Iceberg expire_snapshots + remove_orphan_files).
+        Time travel remains valid for the kept snapshots."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"removed_files": 0, "removed_snapshots": 0}
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        live = {e["path"] for s in keep for e in s["files"]}
+        removed = 0
+        for s in drop:
+            for e in s["files"]:
+                if e["path"] not in live and os.path.exists(e["path"]):
+                    os.remove(e["path"])
+                    removed += 1
+            os.remove(os.path.join(self.path, "manifests", f"{s['snapshot_id']}.json"))
+        return {"removed_files": removed, "removed_snapshots": len(drop)}
+
     # ------------------------------------------------------------- reads
     def read(
         self, spark: SparkSession, snapshot_id: int | None = None

@@ -99,3 +99,20 @@ def test_checkpoint_lineage_records_all_stages(spark, seq, tmp_path):
     for e in entries:
         assert e["n_rows"] > 0 and e["total_bytes"] > 0
         assert all("bytes" in p and "n_files" in p for p in e["partitions"])
+
+
+def test_vacuum_drops_only_expired(spark, seq, tmp_path):
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    # second snapshot via an overwrite so snapshot 0 has exclusive files
+    import pyspark.sql.functions as F
+
+    h = pipe.read_tier(spark, "1h")
+    n_h = h.count()  # materialize BEFORE vacuum (h lazily reads old files)
+    pipe.h1.overwrite_partitions(h, ["pday"])
+    before = pipe.h1.snapshots()
+    assert len(before) >= 2
+    res = pipe.h1.vacuum(keep_last=1)
+    assert res["removed_snapshots"] == len(before) - 1
+    # current snapshot still reads fine
+    assert pipe.read_tier(spark, "1h").count() == n_h
