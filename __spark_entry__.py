@@ -22,7 +22,13 @@ def _prepare(spark: SparkSession) -> None:
     from kfts_insar_spark.packaging import attach_package
 
     attach_package(spark)
+    # oracle comparison requires UTC and non-ANSI semantics regardless of
+    # how the driver built its session (Spark 4 defaults ANSI on)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
