@@ -31,9 +31,11 @@ from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog
 from .operators.compress import compress_tier
+from .operators.kalman import KFConfig, kalman_gapfill, kalman_resume
 from .operators.rollup import (
     DAY_SECONDS,
     HOUR_SECONDS,
+    RAW_SECONDS,
     TIER_COLS,
     rollup_cascade,
     rollup_raw,
@@ -45,15 +47,32 @@ def _pday(col: str = "bucket_es"):
     return F.date_format(F.timestamp_seconds(F.col(col)), "yyyy-MM-dd").alias("pday")
 
 
+# per-source token-count series are O(10^5..10^6) magnitude — noise scales
+# accordingly (the reference's config-scalar role, kfts.py [KALMAN] section)
+DEFAULT_KF_CFG = KFConfig(
+    model=[("POLY", 1)], sig_y=5e4, sig_i=1e4, sig_a=1e7, t_sep=4
+)
+
+
 class TierPipeline:
-    def __init__(self, base_dir: str, salt_buckets: int = 0):
+    def __init__(
+        self,
+        base_dir: str,
+        salt_buckets: int = 0,
+        kf_cfg: KFConfig = DEFAULT_KF_CFG,
+        run_gapfill: bool = True,
+    ):
         self.base = base_dir
         self.raw = SnapshotTable(os.path.join(base_dir, "tier_raw"))
         self.h1 = SnapshotTable(os.path.join(base_dir, "tier_1h"))
         self.d1 = SnapshotTable(os.path.join(base_dir, "tier_1d"))
         self.comp = SnapshotTable(os.path.join(base_dir, "tier_compressed"))
+        self.gap = SnapshotTable(os.path.join(base_dir, "tier_gapfilled"))
+        self.kf_state = SnapshotTable(os.path.join(base_dir, "kf_state"))
         self.log = CheckpointLog(os.path.join(base_dir, "checkpoint.jsonl"))
         self.salt_buckets = salt_buckets
+        self.kf_cfg = kf_cfg
+        self.run_gapfill = run_gapfill
 
     # ------------------------------------------------------------------ run
     def run(self, spark: SparkSession, seq: DataFrame) -> dict:
@@ -118,7 +137,7 @@ class TierPipeline:
             "tier_compressed", sid_c, new_wm, self.comp.manifest()["files"], n_c
         )
 
-        return {
+        result = {
             "status": "ok",
             "watermark_es": new_wm,
             "rows": {"raw": n_raw, "1h": n_h, "1d": n_d, "compressed": n_c},
@@ -129,6 +148,98 @@ class TierPipeline:
                 "compressed": sid_c,
             },
         }
+
+        # ---- KF gap-fill stage: per-source token series, state-resumable
+        # (the north_star core: Kalman predict/update state drives gap-fill
+        # of missing acquisition slots; reference update mode = T1)
+        if self.run_gapfill:
+            gres = self._run_gapfill(spark, raw_now, new_wm)
+            result["rows"]["gapfilled"] = gres["n_rows"]
+            result["snapshots"]["gapfilled"] = gres["snapshot_id"]
+        return result
+
+    def _run_gapfill(self, spark: SparkSession, raw_now: DataFrame, wm: int) -> dict:
+        import numpy as np
+
+        lo = self.kf_state.property("grid_lo")
+        if lo is None:
+            lo = int(raw_now.agg(F.min("bucket_es")).first()[0])
+        lo = int(lo)
+        hi = int(raw_now.agg(F.max("bucket_es")).first()[0])
+        m = int((hi - lo) // RAW_SECONDS) + 1
+        t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
+        step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
+        ser = raw_now.filter(F.col("bucket_es") >= F.lit(lo)).select(
+            F.col("source").alias("doc_id"),
+            step.alias("step"),
+            (step * F.lit(RAW_SECONDS / DAY_SECONDS)).alias("t"),
+            F.col("sum_tok").cast("double").alias("value"),
+        )
+
+        prev = self.kf_state.read(spark)
+        k_done_prev = int(self.kf_state.property("k_done", 0))
+        if prev is None:
+            out = kalman_gapfill(ser, t_grid, self.kf_cfg, num_buckets=8)
+            st = kalman_gapfill(
+                ser, t_grid, self.kf_cfg, num_buckets=8, emit_state=True
+            )
+        else:
+            if m <= k_done_prev:
+                return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
+            new_ser = ser.filter(F.col("step") >= F.lit(k_done_prev))
+            out = kalman_resume(new_ser, prev, t_grid, self.kf_cfg, num_buckets=8)
+            st = kalman_resume(
+                new_ser, prev, t_grid, self.kf_cfg, num_buckets=8, emit_state=True
+            )
+
+        rows = out.select(
+            F.col("doc_id").alias("source"),
+            (F.lit(lo) + F.col("step").cast("long") * F.lit(RAW_SECONDS)).alias(
+                "bucket_es"
+            ),
+            "phase",
+            "std",
+            "innov",
+            "gap_filled",
+        ).withColumn("pday", _pday())
+
+        # stitch: the resume re-emits the overlap window; affected day
+        # partitions get (old rows before the window) ∪ (re-emitted rows)
+        cover_min = rows.agg(F.min("bucket_es")).first()[0]
+        if cover_min is None:
+            return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
+        day_start = (int(cover_min) // DAY_SECONDS) * DAY_SECONDS
+        old = self.gap.read(spark)
+        if old is not None:
+            # re-emitted overlap steps carry refined phase/std but not their
+            # historical innovation/gap flags (those belong to the step's
+            # original update) — stitch them back from the previous tier
+            hist = old.select(
+                "source",
+                "bucket_es",
+                F.col("innov").alias("_innov_old"),
+                F.col("gap_filled").alias("_gap_old"),
+            )
+            rows = (
+                rows.join(hist, ["source", "bucket_es"], "left")
+                .withColumn("innov", F.coalesce("innov", "_innov_old"))
+                .withColumn("gap_filled", F.coalesce("_gap_old", "gap_filled"))
+                .drop("_innov_old", "_gap_old")
+            )
+            keep_old = old.filter(
+                (F.col("bucket_es") >= F.lit(day_start))
+                & (F.col("bucket_es") < F.lit(int(cover_min)))
+            ).select(*rows.columns)
+            rows = keep_old.unionByName(rows)
+        n_rows = rows.count()
+        sid = self.gap.overwrite_partitions(
+            rows, ["pday"], properties={"watermark_es": wm}
+        )
+        self.kf_state.overwrite_all(
+            st, properties={"grid_lo": lo, "k_done": m, "watermark_es": wm}
+        )
+        self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
+        return {"n_rows": n_rows, "snapshot_id": sid}
 
     # ------------------------------------------------------------ retention
     def expire_raw_before(self, cutoff_es: int) -> int:
@@ -144,7 +255,12 @@ class TierPipeline:
 
     # ------------------------------------------------------------- reads
     def read_tier(self, spark: SparkSession, tier: str, snapshot_id: int | None = None):
-        tbl = {"raw": self.raw, "1h": self.h1, "1d": self.d1, "compressed": self.comp}[
-            tier
-        ]
+        tbl = {
+            "raw": self.raw,
+            "1h": self.h1,
+            "1d": self.d1,
+            "compressed": self.comp,
+            "gapfilled": self.gap,
+            "state": self.kf_state,
+        }[tier]
         return tbl.read(spark, snapshot_id)

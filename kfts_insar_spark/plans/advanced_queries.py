@@ -240,8 +240,13 @@ def q_pipeline_resume_consistency(spark, sf_dir):
         two.run(spark, seq.filter(F.col("ingest_es") <= cut))
         two.run(spark, seq)
         total = 0
-        for tier in ("raw", "1h", "1d"):
-            cols = ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"]
+        tier_cols = {
+            "raw": ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"],
+            "1h": ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"],
+            "1d": ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"],
+            "gapfilled": ["source", "bucket_es", "phase", "std", "innov", "gap_filled"],
+        }
+        for tier, cols in tier_cols.items():
             va = one.read_tier(spark, tier).select(*cols)
             vb = two.read_tier(spark, tier).select(*cols)
             total += va.exceptAll(vb).count() + vb.exceptAll(va).count()

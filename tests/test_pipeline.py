@@ -38,7 +38,7 @@ def test_split_run_equals_oneshot(spark, seq, tmp_path_factory):
     assert r1["status"] == r2["status"] == "ok"
     assert r2["watermark_es"] > r1["watermark_es"]
 
-    for tier in ("raw", "1h", "1d"):
+    for tier in ("raw", "1h", "1d", "gapfilled"):
         assert _tier_rows(spark, one, tier) == _tier_rows(spark, two, tier), tier
 
     # compressed tier decodes to the raw tier exactly
@@ -95,7 +95,13 @@ def test_checkpoint_lineage_records_all_stages(spark, seq, tmp_path):
     pipe.run(spark, seq)
     entries = pipe.log.entries()
     stages = {e["stage"] for e in entries}
-    assert stages == {"tier_raw", "tier_1h", "tier_1d", "tier_compressed"}
+    assert stages == {
+        "tier_raw",
+        "tier_1h",
+        "tier_1d",
+        "tier_compressed",
+        "tier_gapfilled",
+    }
     for e in entries:
         assert e["n_rows"] > 0 and e["total_bytes"] > 0
         assert all("bytes" in p and "n_files" in p for p in e["partitions"])
