@@ -86,31 +86,35 @@ class TierPipeline:
             return {"status": "noop", "watermark_es": wm}
         new_wm = int(bounds.hi)
 
-        # ---- raw tier: append-only (each 300 s bucket is born complete)
+        # ---- raw tier: append-only (each 300 s bucket is born complete).
+        # Row counts / affected partitions for every stage come from the
+        # parquet footers recorded in the manifest — each producing plan
+        # executes exactly once (the write), never again for metrics.
         raw_inc = rollup_raw(fresh, salt_buckets=self.salt_buckets).withColumn(
             "pday", _pday()
         )
-        n_raw = raw_inc.count()
         sid = self.raw.append(
             raw_inc,
             partition_by=["pday"],
             properties={"watermark_es": new_wm},
+            coalesce=4,  # optimize-write: tiers are small aggregates
         )
+        n_raw = self.raw.last_commit_rows()
+        days = self.raw.last_commit_partitions("pday")
         self.log.record(
             "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
         )
 
         # ---- 1h: recompute affected days from committed raw, overwrite
         raw_now = self.raw.read(spark)
-        days = [r.pday for r in raw_inc.select("pday").distinct().collect()]
         h_inc = rollup_cascade(
             raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
             HOUR_SECONDS,
         ).withColumn("pday", _pday())
-        n_h = h_inc.count()
         sid_h = self.h1.overwrite_partitions(
-            h_inc, ["pday"], properties={"watermark_es": new_wm}
+            h_inc, ["pday"], properties={"watermark_es": new_wm}, coalesce=4
         )
+        n_h = self.h1.last_commit_rows()
         self.log.record("tier_1h", sid_h, new_wm, self.h1.manifest()["files"], n_h)
 
         # ---- 1d: recompute affected days from committed 1h, overwrite
@@ -119,20 +123,20 @@ class TierPipeline:
             h_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
             DAY_SECONDS,
         ).withColumn("pday", _pday())
-        n_d = d_inc.count()
         sid_d = self.d1.overwrite_partitions(
-            d_inc, ["pday"], properties={"watermark_es": new_wm}
+            d_inc, ["pday"], properties={"watermark_es": new_wm}, coalesce=4
         )
+        n_d = self.d1.last_commit_rows()
         self.log.record("tier_1d", sid_d, new_wm, self.d1.manifest()["files"], n_d)
 
         # ---- compressed raw chunks for affected days (Gorilla)
         c_inc = compress_tier(
             raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS)
         ).withColumn("pday", _pday())
-        n_c = c_inc.count()
         sid_c = self.comp.overwrite_partitions(
-            c_inc, ["pday"], properties={"watermark_es": new_wm}
+            c_inc, ["pday"], properties={"watermark_es": new_wm}, coalesce=4
         )
+        n_c = self.comp.last_commit_rows()
         self.log.record(
             "tier_compressed", sid_c, new_wm, self.comp.manifest()["files"], n_c
         )
@@ -183,6 +187,7 @@ class TierPipeline:
             st = kalman_gapfill(
                 ser, t_grid, self.kf_cfg, num_buckets=8, emit_state=True
             )
+            cover_min_step = 0
         else:
             if m <= k_done_prev:
                 return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
@@ -191,6 +196,8 @@ class TierPipeline:
             st = kalman_resume(
                 new_ser, prev, t_grid, self.kf_cfg, num_buckets=8, emit_state=True
             )
+            # re-emission starts at the previous run's state window origin
+            cover_min_step = int(self.kf_state.property("idx0", 0))
 
         rows = out.select(
             F.col("doc_id").alias("source"),
@@ -205,9 +212,7 @@ class TierPipeline:
 
         # stitch: the resume re-emits the overlap window; affected day
         # partitions get (old rows before the window) ∪ (re-emitted rows)
-        cover_min = rows.agg(F.min("bucket_es")).first()[0]
-        if cover_min is None:
-            return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
+        cover_min = lo + cover_min_step * RAW_SECONDS
         day_start = (int(cover_min) // DAY_SECONDS) * DAY_SECONDS
         old = self.gap.read(spark)
         if old is not None:
@@ -231,12 +236,20 @@ class TierPipeline:
                 & (F.col("bucket_es") < F.lit(int(cover_min)))
             ).select(*rows.columns)
             rows = keep_old.unionByName(rows)
-        n_rows = rows.count()
         sid = self.gap.overwrite_partitions(
-            rows, ["pday"], properties={"watermark_es": wm}
+            rows, ["pday"], properties={"watermark_es": wm}, coalesce=4
         )
+        n_rows = self.gap.last_commit_rows()
+        # the state's idx0 is uniform across docs (grid-determined): L kept
+        # params + last t_sep phases → idx0 = m − t_sep (m > t_sep here)
         self.kf_state.overwrite_all(
-            st, properties={"grid_lo": lo, "k_done": m, "watermark_es": wm}
+            st,
+            properties={
+                "grid_lo": lo,
+                "k_done": m,
+                "idx0": max(0, m - self.kf_cfg.t_sep),
+                "watermark_es": wm,
+            },
         )
         self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
         return {"n_rows": n_rows, "snapshot_id": sid}

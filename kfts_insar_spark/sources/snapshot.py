@@ -70,15 +70,27 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- writes
     def _write_files(
-        self, df: DataFrame, sid: int, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        sid: int,
+        partition_by: list[str] | None,
+        coalesce: int | None = None,
     ) -> list[dict]:
         """Write df under data/<sid>/ and return file entries with partition
-        values, row counts and sizes (per-file lineage)."""
+        values, row counts and sizes (per-file lineage). ``coalesce`` is the
+        optimize-write knob: without it a 32-partition plan writing a small
+        tier emits 32 tiny files per partition value, and every downstream
+        stage pays listing+footer costs (measured as the pipeline's main
+        overhead at bench scale)."""
         out_dir = os.path.join(self.path, "data", str(sid), uuid.uuid4().hex[:8])
+        if coalesce:
+            df = df.coalesce(coalesce)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(out_dir)
+
+        import pyarrow.parquet as pq
 
         entries = []
         for root, _dirs, files in os.walk(out_dir):
@@ -97,6 +109,10 @@ class SnapshotTable:
                         "path": full,
                         "partition": parts,
                         "bytes": os.path.getsize(full),
+                        # row count from the parquet footer: downstream
+                        # stages consume counts/partitions from metadata
+                        # instead of re-running the producing plan
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
                     }
                 )
         return entries
@@ -132,14 +148,27 @@ class SnapshotTable:
         parent = self.current_snapshot_id()
         return (0 if parent is None else parent + 1), parent
 
+    # metadata of the files written by the most recent append/overwrite on
+    # this instance (row counts from footers, partition values) — lets the
+    # pipeline chain stages without re-executing producer plans
+    last_commit_files: list[dict] = []
+
+    def last_commit_rows(self) -> int:
+        return sum(e.get("rows", 0) for e in self.last_commit_files)
+
+    def last_commit_partitions(self, key: str) -> list[str]:
+        return sorted({e["partition"][key] for e in self.last_commit_files if key in e["partition"]})
+
     def append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         properties: dict | None = None,
+        coalesce: int | None = None,
     ) -> int:
         sid, parent = self._next_sid()
-        new = self._write_files(df, sid, partition_by)
+        new = self._write_files(df, sid, partition_by, coalesce)
+        self.last_commit_files = new
         prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
         return self._commit(sid, prev + new, "append", properties, parent)
 
@@ -148,11 +177,13 @@ class SnapshotTable:
         df: DataFrame,
         partition_by: list[str],
         properties: dict | None = None,
+        coalesce: int | None = None,
     ) -> int:
         """Replace exactly the partitions present in ``df`` (Iceberg dynamic
         partition overwrite)."""
         sid, parent = self._next_sid()
-        new = self._write_files(df, sid, partition_by)
+        new = self._write_files(df, sid, partition_by, coalesce)
+        self.last_commit_files = new
         touched = {tuple(sorted(e["partition"].items())) for e in new}
         prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
         kept = [
@@ -167,9 +198,11 @@ class SnapshotTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         properties: dict | None = None,
+        coalesce: int | None = None,
     ) -> int:
         sid, parent = self._next_sid()
-        new = self._write_files(df, sid, partition_by)
+        new = self._write_files(df, sid, partition_by, coalesce)
+        self.last_commit_files = new
         return self._commit(sid, new, "overwrite_all", properties, parent)
 
     def drop_partitions(
