@@ -4,11 +4,15 @@
 Measures the engine's core workloads at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
 
-- q_tiers:    synth sequences → raw→1h→1d cascade (rolled-up points/sec,
-              the BASELINE.json target metric)
-- q_compress: Gorilla pack of the raw tier
-- q_kalman:   per-doc KF gap-fill over n_docs×92-step series (kernel points/s)
-- q_fingerprint: per-row token-array fingerprint (Catalyst array exprs)
+- q_tiers:        full committed pipeline raw→1h→1d→compressed (snapshot
+                  commits + lineage; fixed per-stage costs dominate at
+                  bench scale — see comment at the job)
+- q_rollup_direct: one-pass base→1d aggregation over 10× docs (pure
+                  shuffle/agg throughput; the BASELINE rolled-up points path)
+- q_compress:     Gorilla chunk-vectorized pack of the raw tier
+- q_kalman:       read cached wide series → mapInArrow KF gap-fill (the
+                  production kernel path; points/s headline)
+- q_fingerprint:  per-row token-array fingerprint (Catalyst array exprs)
 - q_pricing / q_hourly / q_sessionize: relational suite over the sf tables
 
 `value` is total wall seconds over the headline queries (unit: sec);
