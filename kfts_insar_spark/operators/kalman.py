@@ -777,28 +777,7 @@ def kalman_resume(
     M = len(t_grid)
     out_schema = KF_STATE if emit_state else KF_OUTPUT
 
-    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if right.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        right = right.sort_values("doc_id")
-        docs = right["doc_id"].to_numpy()
-        k_done = int(right["k_done"].iloc[0])
-        idx0 = int(right["idx0"].iloc[0])
-        Bm = np.vstack(right["m"].to_numpy())
-        n = Bm.shape[1]
-        Pm = np.vstack(right["P"].to_numpy()).reshape(len(docs), n, n)
-        ldocs, lvalues = _fast_pivot(left, M)
-        values = np.full((len(docs), M), np.nan)
-        pos = {d: i for i, d in enumerate(ldocs)}
-        sel = np.array([pos.get(d, -1) for d in docs])
-        hit = sel >= 0
-        values[hit] = lvalues[sel[hit]]
-        res = kalman_direct_batch(
-            values,
-            t_grid,
-            cfg,
-            init={"X": Bm, "P": Pm, "idx0": idx0, "k_done": k_done},
-        )
+    def emit(docs: np.ndarray, res: dict) -> pd.DataFrame:
         B = len(docs)
         if emit_state:
             return pd.DataFrame(
@@ -823,6 +802,60 @@ def kalman_resume(
         )
         # drop steps archived by the PREVIOUS run (they carry NaN here)
         return out[np.isfinite(out["phase"].to_numpy())]
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        ldocs, lvalues = (
+            _fast_pivot(left, M) if len(left) else (np.array([], dtype=object), None)
+        )
+        pos = {d: i for i, d in enumerate(ldocs)}
+        frames: list[pd.DataFrame] = []
+
+        # Streaming micro-batches advance each doc to its OWN k_done — the
+        # batch kernel needs uniform shapes, so partition the state snapshot
+        # by (k_done, idx0, state width) and run one batch per stratum
+        # (single stratum for batch-produced snapshots → one kernel call).
+        state_docs: set = set()
+        if not right.empty:
+            right = right.sort_values("doc_id")
+            strata = right.groupby(
+                [
+                    right["k_done"].astype(int),
+                    right["idx0"].astype(int),
+                    right["m"].map(len),
+                ],
+                sort=False,
+            )
+            for (k_done, idx0, n), g in strata:
+                docs = g["doc_id"].to_numpy()
+                state_docs.update(docs)
+                Bm = np.vstack(g["m"].to_numpy())
+                Pm = np.vstack(g["P"].to_numpy()).reshape(len(docs), n, n)
+                values = np.full((len(docs), M), np.nan)
+                sel = np.array([pos.get(d, -1) for d in docs])
+                hit = sel >= 0
+                if hit.any():
+                    values[hit] = lvalues[sel[hit]]
+                res = kalman_direct_batch(
+                    values,
+                    t_grid,
+                    cfg,
+                    init={"X": Bm, "P": Pm, "idx0": int(idx0), "k_done": int(k_done)},
+                )
+                frames.append(emit(docs, res))
+
+        # Cold start: docs first observed after the snapshot was taken have
+        # no state row — run the full recursion from scratch so new series
+        # enter the gapfilled tier instead of being dropped.
+        cold = np.array([d for d in ldocs if d not in state_docs], dtype=object)
+        if len(cold):
+            sel = np.array([pos[d] for d in cold])
+            res = kalman_direct_batch(lvalues[sel], t_grid, cfg)
+            frames.append(emit(cold, res))
+
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     sb = series.withColumn("_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)))
     st = state.withColumn("_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)))

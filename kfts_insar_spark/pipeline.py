@@ -78,13 +78,26 @@ class TierPipeline:
     def run(self, spark: SparkSession, seq: DataFrame) -> dict:
         """Process all ingest batches newer than the committed watermark."""
         wm = int(self.raw.property("watermark_es", -1))
-        fresh = seq.filter(F.col("ingest_es") > F.lit(wm))
-        bounds = fresh.agg(
-            F.max("ingest_es").alias("hi"), F.count(F.lit(1)).alias("n")
-        ).first()
+        # Heal first: a crash between the raw commit and the downstream
+        # commits leaves 1h/1d/compressed/gapfilled lagging raw's watermark;
+        # without this the next run would treat the increment as already
+        # processed (raw watermark advanced) and those tiers would stay
+        # permanently short of it.
+        self._heal(spark, wm)
+        bounds = (
+            seq.filter(F.col("ingest_es") > F.lit(wm))
+            .agg(F.max("ingest_es").alias("hi"), F.count(F.lit(1)).alias("n"))
+            .first()
+        )
         if bounds.n == 0:
             return {"status": "noop", "watermark_es": wm}
         new_wm = int(bounds.hi)
+        # bounded on BOTH sides: a live source may gain rows between the
+        # bounds action and the write action — an open upper bound would
+        # write those rows now AND reprocess them next run (duplicates)
+        fresh = seq.filter(
+            (F.col("ingest_es") > F.lit(wm)) & (F.col("ingest_es") <= F.lit(new_wm))
+        )
 
         # ---- raw tier: append-only (each 300 s bucket is born complete).
         # Row counts / affected partitions for every stage come from the
@@ -105,17 +118,40 @@ class TierPipeline:
             "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
         )
 
-        # ---- 1h: recompute affected days from committed raw, overwrite
         raw_now = self.raw.read(spark)
+        drows, dsids = self._derive_tiers(spark, raw_now, days, new_wm)
+
+        result = {
+            "status": "ok",
+            "watermark_es": new_wm,
+            "rows": {"raw": n_raw, **drows},
+            "snapshots": {"raw": sid, **dsids},
+        }
+
+        # ---- KF gap-fill stage: state-resumable (the north_star core:
+        # Kalman predict/update state drives gap-fill of missing acquisition
+        # slots; reference update mode = T1)
+        if self.run_gapfill:
+            gres = self._run_gapfill(spark, raw_now, new_wm)
+            result["rows"]["gapfilled"] = gres["n_rows"]
+            result["snapshots"]["gapfilled"] = gres["snapshot_id"]
+        return result
+
+    def _derive_tiers(
+        self, spark: SparkSession, raw_now: DataFrame, days: list, wm: int
+    ) -> tuple[dict, dict]:
+        """Recompute the 1h/1d/compressed tiers for the affected ``days``
+        from the committed raw tier and overwrite those partitions."""
+        # ---- 1h: recompute affected days from committed raw, overwrite
         h_inc = rollup_cascade(
             raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
             HOUR_SECONDS,
         ).withColumn("pday", _pday())
         sid_h = self.h1.overwrite_partitions(
-            h_inc, ["pday"], properties={"watermark_es": new_wm}, coalesce=4
+            h_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
         )
         n_h = self.h1.last_commit_rows()
-        self.log.record("tier_1h", sid_h, new_wm, self.h1.manifest()["files"], n_h)
+        self.log.record("tier_1h", sid_h, wm, self.h1.manifest()["files"], n_h)
 
         # ---- 1d: recompute affected days from committed 1h, overwrite
         h_now = self.h1.read(spark)
@@ -124,43 +160,65 @@ class TierPipeline:
             DAY_SECONDS,
         ).withColumn("pday", _pday())
         sid_d = self.d1.overwrite_partitions(
-            d_inc, ["pday"], properties={"watermark_es": new_wm}, coalesce=4
+            d_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
         )
         n_d = self.d1.last_commit_rows()
-        self.log.record("tier_1d", sid_d, new_wm, self.d1.manifest()["files"], n_d)
+        self.log.record("tier_1d", sid_d, wm, self.d1.manifest()["files"], n_d)
 
         # ---- compressed raw chunks for affected days (Gorilla)
         c_inc = compress_tier(
             raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS)
         ).withColumn("pday", _pday())
         sid_c = self.comp.overwrite_partitions(
-            c_inc, ["pday"], properties={"watermark_es": new_wm}, coalesce=4
+            c_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
         )
         n_c = self.comp.last_commit_rows()
         self.log.record(
-            "tier_compressed", sid_c, new_wm, self.comp.manifest()["files"], n_c
+            "tier_compressed", sid_c, wm, self.comp.manifest()["files"], n_c
+        )
+        return (
+            {"1h": n_h, "1d": n_d, "compressed": n_c},
+            {"1h": sid_h, "1d": sid_d, "compressed": sid_c},
         )
 
-        result = {
-            "status": "ok",
-            "watermark_es": new_wm,
-            "rows": {"raw": n_raw, "1h": n_h, "1d": n_d, "compressed": n_c},
-            "snapshots": {
-                "raw": sid,
-                "1h": sid_h,
-                "1d": sid_d,
-                "compressed": sid_c,
-            },
-        }
+    def _raw_days_since(self, wm_tier: int) -> list:
+        """pday partitions whose raw files were added by commits with a
+        watermark newer than ``wm_tier`` — metadata-only (manifest diff)."""
+        days: set = set()
+        prev_paths: set = set()
+        for s in self.raw.snapshots():
+            new = [e for e in s["files"] if e["path"] not in prev_paths]
+            prev_paths = {e["path"] for e in s["files"]}
+            s_wm = int(s.get("properties", {}).get("watermark_es", -1))
+            if s_wm > wm_tier:
+                days.update(
+                    e["partition"]["pday"] for e in new if "pday" in e["partition"]
+                )
+        return sorted(days)
 
-        # ---- KF gap-fill stage: per-source token series, state-resumable
-        # (the north_star core: Kalman predict/update state drives gap-fill
-        # of missing acquisition slots; reference update mode = T1)
-        if self.run_gapfill:
-            gres = self._run_gapfill(spark, raw_now, new_wm)
-            result["rows"]["gapfilled"] = gres["n_rows"]
-            result["snapshots"]["gapfilled"] = gres["snapshot_id"]
-        return result
+    def _heal(self, spark: SparkSession, wm_raw: int) -> None:
+        """Bring downstream tiers up to raw's committed watermark before
+        processing new data (crash-resume for a failure between the raw
+        commit and any downstream commit)."""
+        if wm_raw < 0:
+            return
+        lagging = [
+            t
+            for t in (self.h1, self.d1, self.comp)
+            if int(t.property("watermark_es", -1)) < wm_raw
+        ]
+        raw_now = None
+        if lagging:
+            days = self._raw_days_since(
+                min(int(t.property("watermark_es", -1)) for t in lagging)
+            )
+            if days:
+                raw_now = self.raw.read(spark)
+                self._derive_tiers(spark, raw_now, days, wm_raw)
+        if self.run_gapfill and int(self.kf_state.property("watermark_es", -1)) < wm_raw:
+            if raw_now is None:
+                raw_now = self.raw.read(spark)
+            self._run_gapfill(spark, raw_now, wm_raw)
 
     def _run_gapfill(self, spark: SparkSession, raw_now: DataFrame, wm: int) -> dict:
         import numpy as np

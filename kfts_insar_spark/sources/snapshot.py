@@ -125,12 +125,21 @@ class SnapshotTable:
         properties: dict | None,
         parent: int | None,
     ) -> int:
+        # Table properties persist across commits (Iceberg semantics): a
+        # commit that sets none — e.g. a retention drop_partitions — must
+        # not erase watermark_es, or the next pipeline run re-ingests from
+        # scratch and double-counts retained partitions.
+        inherited = (
+            (self.manifest(parent) or {}).get("properties", {})
+            if parent is not None
+            else {}
+        )
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
             "files": files,
-            "properties": properties or {},
+            "properties": {**inherited, **(properties or {})},
         }
         mpath = os.path.join(self.path, "manifests", f"{sid}.json")
         tmp = mpath + ".tmp"

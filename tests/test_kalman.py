@@ -267,3 +267,60 @@ def test_spark_pairs_mode_matches_local(spark):
         got = out[out.doc_id == doc].sort_values("step")
         np.testing.assert_allclose(got.phase.to_numpy(), res["phase"], rtol=1e-9)
         np.testing.assert_allclose(got["std"].to_numpy(), res["std"], rtol=1e-9)
+
+
+def test_resume_mixed_strata_and_cold_start(spark):
+    """Regression: streaming micro-batches leave per-doc k_done/idx0 in the
+    state snapshot (heterogeneous strata), and brand-new docs have no state
+    row at all — resume must handle both, matching the one-shot run exactly
+    and cold-starting left-only docs instead of dropping them."""
+    from kfts_insar_spark.operators.kalman import kalman_resume
+
+    _, y, _, _ = make_series(7)
+    ka, kb = 50, 60
+    docs_a = [f"d{b:03d}" for b in range(3)]
+    docs_b = [f"d{b:03d}" for b in range(3, 6)]
+    cold = "d006"
+
+    def to_sdf(doc_ids, steps):
+        rows = []
+        for d in doc_ids:
+            b = int(d[1:])
+            for k in steps:
+                v = y[b, k]
+                rows.append(
+                    (d, int(k), float(T[k]), None if np.isnan(v) else float(v))
+                )
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "step", "t", "value"])
+        )
+
+    one = (
+        kalman_gapfill(to_sdf([f"d{b:03d}" for b in range(7)], range(M)), T, CFG,
+                       num_buckets=3)
+        .toPandas()
+        .set_index(["doc_id", "step"])
+        .sort_index()
+    )
+    st_a = kalman_gapfill(
+        to_sdf(docs_a, range(ka)), T[:ka], CFG, num_buckets=3, emit_state=True
+    )
+    st_b = kalman_gapfill(
+        to_sdf(docs_b, range(kb)), T[:kb], CFG, num_buckets=3, emit_state=True
+    )
+    new = (
+        to_sdf(docs_a, range(ka, M))
+        .unionByName(to_sdf(docs_b, range(kb, M)))
+        .unionByName(to_sdf([cold], range(M)))
+    )
+    upd = kalman_resume(new, st_a.unionByName(st_b), T, CFG, num_buckets=3).toPandas()
+
+    # the cold doc gets its FULL series (cold start), not dropped
+    assert (upd.doc_id == cold).sum() == M
+    # every emitted (doc, step) matches the one-shot run (rtol bounds the
+    # batch-composition ULP wobble: einsum/BLAS reduction order varies with
+    # the number of docs in the vectorized batch)
+    for _, r in upd.iterrows():
+        o = one.loc[(r.doc_id, r.step)]
+        np.testing.assert_allclose(r.phase, o.phase, rtol=1e-11)
+        np.testing.assert_allclose(r["std"], o["std"], rtol=1e-9)

@@ -122,3 +122,58 @@ def test_vacuum_drops_only_expired(spark, seq, tmp_path):
     assert res["removed_snapshots"] == len(before) - 1
     # current snapshot still reads fine
     assert pipe.read_tier(spark, "1h").count() == n_h
+
+
+def test_retention_keeps_watermark_no_reingest(spark, seq, tmp_path):
+    """Regression: drop_partitions must inherit table properties — losing
+    watermark_es made the next run re-ingest everything and double-count."""
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    wm = pipe.raw.property("watermark_es")
+    days = sorted(
+        r.pday
+        for r in pipe.read_tier(spark, "raw").select("pday").distinct().collect()
+    )
+    import datetime as dt
+
+    cutoff = int(
+        dt.datetime.strptime(days[-1], "%Y-%m-%d")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    pipe.expire_raw_before(cutoff)
+    assert pipe.raw.property("watermark_es") == wm
+    n_after_drop = pipe.read_tier(spark, "raw").count()
+    res = pipe.run(spark, seq)  # same input → must be a noop, not a re-ingest
+    assert res["status"] == "noop"
+    assert pipe.read_tier(spark, "raw").count() == n_after_drop
+
+
+def test_heal_after_crash_between_commits(spark, seq, tmp_path_factory):
+    """Regression: a crash after the raw commit but before the downstream
+    commits must be healed on the next run, even if no new data arrives."""
+    from kfts_insar_spark.operators.rollup import rollup_raw
+
+    one = TierPipeline(str(tmp_path_factory.mktemp("heal_one")))
+    one.run(spark, seq)
+
+    split_es = seq.approxQuantile("ingest_es", [0.5], 0)[0]
+    pipe = TierPipeline(str(tmp_path_factory.mktemp("heal_two")))
+    pipe.run(spark, seq.filter(F.col("ingest_es") <= split_es))
+
+    # simulate the crash: commit ONLY the raw increment of batch 2
+    wm = int(pipe.raw.property("watermark_es"))
+    fresh = seq.filter(F.col("ingest_es") > wm)
+    hi = int(fresh.agg(F.max("ingest_es")).first()[0])
+    inc = rollup_raw(fresh).withColumn(
+        "pday",
+        F.date_format(F.timestamp_seconds(F.col("bucket_es")), "yyyy-MM-dd"),
+    )
+    pipe.raw.append(
+        inc, partition_by=["pday"], properties={"watermark_es": hi}, coalesce=4
+    )
+
+    res = pipe.run(spark, seq)  # no new data — but the run must heal
+    assert res["status"] == "noop"
+    for tier in ("raw", "1h", "1d", "gapfilled"):
+        assert _tier_rows(spark, one, tier) == _tier_rows(spark, pipe, tier), tier
