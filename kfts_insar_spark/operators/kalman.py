@@ -50,7 +50,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.basis import Model, basis_matrix, basis_row, n_params
+from ..functions.basis import (
+    Model,
+    basis_matrix,
+    basis_row,
+    n_params,
+    resolve_model,
+)
 from ..schema import KF_OUTPUT, KF_STATE
 
 
@@ -237,6 +243,7 @@ def kalman_direct_oracle(
     y = np.asarray(y, dtype=np.float64)
     M = len(y)
     L, ts = cfg.L, cfg.t_sep
+    model = resolve_model(cfg.model, t)  # grid-dependent spline norms
     phase = np.full(M, np.nan)
     std = np.full(M, np.nan)
     innov = np.full(M, np.nan)
@@ -249,7 +256,7 @@ def kalman_direct_oracle(
     for k in range(1, M):
         n = len(m)
         A = np.vstack([np.eye(n), np.zeros(n)])
-        A[n, :L] = basis_row(cfg.model, float(t[k]))
+        A[n, :L] = basis_row(model, float(t[k]))
         Q = np.diag([cfg.m_err] * L + [cfg.phi_err] * (n + 1 - L))
         Q[-1, -1] = cfg.add_err
         mf = A @ m
@@ -298,6 +305,7 @@ def kalman_pairs_doc(
     t_plus − t_minus ≤ t_sep, which the generators guarantee)."""
     M = len(t)
     L, ts = cfg.L, cfg.t_sep
+    model = resolve_model(cfg.model, t)
     tm = pairs[:, 0].astype(int)
     tp = pairs[:, 1].astype(int)
     obs = pairs[:, 2].astype(np.float64)
@@ -315,7 +323,7 @@ def kalman_pairs_doc(
     for k in range(1, M):
         n = len(m)
         A = np.vstack([np.eye(n), np.zeros(n)])
-        A[n, :L] = basis_row(cfg.model, float(t[k]))
+        A[n, :L] = basis_row(model, float(t[k]))
         Q = np.diag([cfg.m_err] * L + [cfg.phi_err] * (n + 1 - L))
         Q[-1, -1] = cfg.add_err
         mf = A @ m

@@ -155,6 +155,68 @@ def q_model_eval_shift(spark, sf_dir):
     )
 
 
+# Full-DSL spline model on a dyadic grid: every basis element the reference
+# supports (kf/timefunction.py:36-49), exact cross-engine (POLY/STEP/LISEG/
+# B-/I-splines are piecewise polynomials of dyadic rationals; the spline
+# norm constants are identical double literals on both sides).
+SPLINE_MODEL = [
+    ("POLY", 1),
+    ("ISPLINE", 2, 6.0, 2.0),
+    ("BSPLINE", 3, 10.0, 2.0),
+    ("STEP", 8.0),
+    ("LISEG", 4.0, 12.0),
+]
+SPLINE_COEFFS = [1.0, 0.5, 100.0, 50.0, 25.0, 2.0, 0.25, 0.125]
+SPLINE_GRID_N = 257  # t = j/16, j in [0, 256] — dyadic
+
+
+def _spline_t_grid():
+    import numpy as np
+
+    return np.arange(SPLINE_GRID_N) / 16.0
+
+
+def q_model_basis_spline(spark, sf_dir):
+    """F3 full basis DSL (BSPLINE/ISPLINE/LISEG + STEP + POLY) evaluated
+    JVM-side on a dyadic grid, plus the model value f = c·basis — value-
+    exact vs the DuckDB oracle built by basis_sql term-for-term
+    (reference transition_vect kf/timefunction.py:146-241, splines
+    :865-940)."""
+    from ..functions.basis import basis_columns
+
+    grid = spark.range(SPLINE_GRID_N).select(
+        (F.col("id").cast("double") / F.lit(16.0)).alias("t")
+    )
+    cols = basis_columns(SPLINE_MODEL, F.col("t"), _spline_t_grid())
+    sel = [F.col("t")]
+    f = F.lit(0.0)
+    for i, (c, col) in enumerate(zip(SPLINE_COEFFS, cols)):
+        sel.append(col.alias(f"b{i}"))
+        f = f + F.lit(c) * col
+    sel.append(f.alias("f"))
+    return grid.select(*sel)
+
+
+def _spline_oracle_sql() -> str:
+    from ..functions.basis import basis_sql
+
+    exprs = basis_sql(SPLINE_MODEL, "t", _spline_t_grid())
+    parts = []
+    f = "0.0"
+    for i, (c, e) in enumerate(zip(SPLINE_COEFFS, exprs)):
+        parts.append(f"{e} AS b{i}")
+        f = f"({f} + {c!r} * {e})"
+    cols = ",\n       ".join(parts)
+    return f"""
+WITH grid AS (SELECT CAST(i AS DOUBLE) / 16.0 AS t
+              FROM range(0, {SPLINE_GRID_N}) g(i))
+SELECT t,
+       {cols},
+       {f} AS f
+FROM grid
+"""
+
+
 def q_pivot_user_event_types(spark, sf_dir):
     """Long→wide pivot (F12, kf/utils/createinput.py:175-185 reshape): event
     counts per user pivoted to one column per type (portable form:
@@ -257,6 +319,7 @@ QUERIES = {
     "pair_reconstruction_rms": q_pair_reconstruction_rms,
     "close_events_dedup": q_close_events_dedup,
     "model_eval_shift": q_model_eval_shift,
+    "model_basis_spline": q_model_basis_spline,
     "pivot_user_event_types": q_pivot_user_event_types,
     "cube_pricing": q_cube_pricing,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
@@ -322,6 +385,7 @@ SELECT doc, t,
        (c0 + c1 * t) - ((c0 + 2.0 * c1) + c1 * (t - 2.0)) AS shift_resid
 FROM docs CROSS JOIN grid
 """,
+    "model_basis_spline": _spline_oracle_sql(),
     "pivot_user_event_types": """
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
