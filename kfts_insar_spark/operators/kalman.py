@@ -684,6 +684,103 @@ def kalman_gapfill_wide(
     )
 
 
+KF_WIDE_STATE = (
+    "doc_id string, phase array<double>, std array<double>, "
+    "innov array<double>, gap array<boolean>, "
+    "k_done int, idx0 int, m array<double>, P array<double>"
+)
+
+
+def kalman_gapfill_combined(
+    series_wide: DataFrame,
+    t_grid: np.ndarray,
+    cfg: KFConfig | None = None,
+    min_batch_docs: int = 2000,
+) -> DataFrame:
+    """ONE kernel execution per doc emitting BOTH the gap-filled output
+    arrays and the resumable state — the pipeline previously ran the kernel
+    twice per run (once for output, once with emit_state=True), doubling its
+    most expensive stage.
+
+    Input: (doc_id, values array<double>[, k_done, idx0, m, P]). Rows whose
+    state columns are NULL (or absent) cold-start from the grid origin; rows
+    with state resume, stratified by (k_done, idx0, state width) exactly
+    like :func:`kalman_resume`. No shuffle beyond whatever join produced the
+    input — mapInPandas over doc-wide rows.
+    """
+    cfg = cfg or KFConfig()
+    t_grid = np.asarray(t_grid, dtype=np.float64)
+    M = len(t_grid)
+    has_state = "k_done" in series_wide.columns
+
+    def emit(docs: np.ndarray, values: np.ndarray, init: dict | None) -> pd.DataFrame:
+        res = kalman_direct_batch(values, t_grid, cfg, init=init)
+        B = len(docs)
+        return pd.DataFrame(
+            {
+                "doc_id": docs,
+                "phase": list(res["phase"]),
+                "std": list(res["std"]),
+                "innov": list(res["innov"]),
+                "gap": list(res["gap"]),
+                "k_done": np.full(B, res["k_done"], dtype=np.int32),
+                "idx0": np.full(B, res["idx0"], dtype=np.int32),
+                "m": list(res["m"]),
+                "P": list(res["P"].reshape(B, -1)),
+            }
+        )
+
+    def flush(whole: pd.DataFrame) -> pd.DataFrame:
+        whole = whole.reset_index(drop=True)
+        docs_all = whole["doc_id"].to_numpy()
+        values_all = _stack_values(whole["values"].to_numpy(), M)
+        notna = (
+            whole["k_done"].notna().to_numpy()
+            if has_state
+            else np.zeros(len(whole), dtype=bool)
+        )
+        outs: list[pd.DataFrame] = []
+        if (~notna).any():
+            sel = np.flatnonzero(~notna)
+            outs.append(emit(docs_all[sel], values_all[sel], None))
+        if notna.any():
+            st = whole[notna]
+            strata = st.groupby(
+                [
+                    st["k_done"].astype(int),
+                    st["idx0"].astype(int),
+                    st["m"].map(len),
+                ],
+                sort=False,
+            )
+            for (k_done, idx0, n), g in strata:
+                sel = g.index.to_numpy()
+                init = {
+                    "X": np.vstack(g["m"].to_numpy()),
+                    "P": np.vstack(g["P"].to_numpy()).reshape(len(g), n, n),
+                    "idx0": int(idx0),
+                    "k_done": int(k_done),
+                }
+                outs.append(emit(docs_all[sel], values_all[sel], init))
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    def run(batches):
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= min_batch_docs:
+                yield flush(pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0])
+                buf, buffered = [], 0
+        if buffered:
+            yield flush(pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0])
+
+    return series_wide.mapInPandas(run, schema=KF_WIDE_STATE)
+
+
 def _stack_values(col: np.ndarray, M: int) -> np.ndarray:
     """list-of-arrays column → (B, M) float matrix (None → NaN)."""
     vals = np.full((len(col), M), np.nan)

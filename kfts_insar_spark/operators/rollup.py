@@ -84,6 +84,33 @@ def rollup_raw(seq: DataFrame, salt_buckets: int = 0) -> DataFrame:
     return out.select(*TIER_COLS)
 
 
+def rollup_series(seq: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Base table → the KF-stage series tier: (source, shard, bucket_es)
+    partial sums, where shard = hash(doc_id) % n_shards.
+
+    The per-source token series alone has ~5 keys — a hard parallelism
+    ceiling of 5 tasks on the gap-fill stage no matter the cluster size.
+    Sharding each source's series by a deterministic doc-hash yields
+    5 × n_shards independent sub-series whose Kalman recursions run in
+    parallel; the per-source view remains recoverable as the shard sum.
+    (The same role the reference's pixel dimension plays for its MPI split,
+    kf/readinput.py:166-212.)
+    """
+    return (
+        seq.select(
+            "source",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+            bucket("ingest_es", RAW_SECONDS).alias("bucket_es"),
+            F.col("n_tok"),
+        )
+        .groupBy("source", "shard", "bucket_es")
+        .agg(
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def rollup_cascade(tier: DataFrame, width: int) -> DataFrame:
     """Finer tier → coarser tier (raw→1h, 1h→1d). Exact for algebraic aggs."""
     return (

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog
 from .operators.compress import compress_tier
-from .operators.kalman import KFConfig, kalman_gapfill, kalman_resume
+from .operators.kalman import (
+    KFConfig,
+    explode_kf_output,
+    kalman_gapfill_combined,
+)
 from .operators.rollup import (
     DAY_SECONDS,
     HOUR_SECONDS,
@@ -39,6 +43,7 @@ from .operators.rollup import (
     TIER_COLS,
     rollup_cascade,
     rollup_raw,
+    rollup_series,
 )
 from .sources.snapshot import SnapshotTable
 
@@ -61,18 +66,24 @@ class TierPipeline:
         salt_buckets: int = 0,
         kf_cfg: KFConfig = DEFAULT_KF_CFG,
         run_gapfill: bool = True,
+        kf_shards: int = 32,
     ):
         self.base = base_dir
         self.raw = SnapshotTable(os.path.join(base_dir, "tier_raw"))
         self.h1 = SnapshotTable(os.path.join(base_dir, "tier_1h"))
         self.d1 = SnapshotTable(os.path.join(base_dir, "tier_1d"))
         self.comp = SnapshotTable(os.path.join(base_dir, "tier_compressed"))
+        # KF-stage input: (source, doc-hash shard) sub-series — 5 sources
+        # alone cap the gap-fill at 5 tasks; 5 × kf_shards series keep the
+        # stage's parallelism ≥ cluster cores (the round-1 scale-killer)
+        self.series = SnapshotTable(os.path.join(base_dir, "tier_series"))
         self.gap = SnapshotTable(os.path.join(base_dir, "tier_gapfilled"))
         self.kf_state = SnapshotTable(os.path.join(base_dir, "kf_state"))
         self.log = CheckpointLog(os.path.join(base_dir, "checkpoint.jsonl"))
         self.salt_buckets = salt_buckets
         self.kf_cfg = kf_cfg
         self.run_gapfill = run_gapfill
+        self.kf_shards = kf_shards
 
     # ------------------------------------------------------------------ run
     def run(self, spark: SparkSession, seq: DataFrame) -> dict:
@@ -83,7 +94,7 @@ class TierPipeline:
         # without this the next run would treat the increment as already
         # processed (raw watermark advanced) and those tiers would stay
         # permanently short of it.
-        self._heal(spark, wm)
+        self._heal(spark, seq, wm)
         bounds = (
             seq.filter(F.col("ingest_es") > F.lit(wm))
             .agg(F.max("ingest_es").alias("hi"), F.count(F.lit(1)).alias("n"))
@@ -118,6 +129,10 @@ class TierPipeline:
             "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
         )
 
+        # ---- series tier for the KF stage (own watermark window, so a
+        # crash between the raw and series commits heals from `seq`)
+        self._ingest_series(spark, seq, new_wm)
+
         raw_now = self.raw.read(spark)
         drows, dsids = self._derive_tiers(spark, raw_now, days, new_wm)
 
@@ -132,10 +147,33 @@ class TierPipeline:
         # Kalman predict/update state drives gap-fill of missing acquisition
         # slots; reference update mode = T1)
         if self.run_gapfill:
-            gres = self._run_gapfill(spark, raw_now, new_wm)
+            gres = self._run_gapfill(spark, new_wm)
             result["rows"]["gapfilled"] = gres["n_rows"]
             result["snapshots"]["gapfilled"] = gres["snapshot_id"]
         return result
+
+    def _ingest_series(self, spark: SparkSession, seq: DataFrame, upto: int) -> None:
+        """Append the (source, shard, 300 s bucket) sub-series increment for
+        ingest slots in (series watermark, upto] — idempotent per slot."""
+        wm_s = int(self.series.property("watermark_es", -1))
+        if wm_s >= upto:
+            return
+        inc = rollup_series(
+            seq.filter(
+                (F.col("ingest_es") > F.lit(wm_s)) & (F.col("ingest_es") <= F.lit(upto))
+            ),
+            self.kf_shards,
+        ).withColumn("pday", _pday())
+        sid = self.series.append(
+            inc, partition_by=["pday"], properties={"watermark_es": upto}, coalesce=4
+        )
+        self.log.record(
+            "tier_series",
+            sid,
+            upto,
+            self.series.manifest()["files"],
+            self.series.last_commit_rows(),
+        )
 
     def _derive_tiers(
         self, spark: SparkSession, raw_now: DataFrame, days: list, wm: int
@@ -196,7 +234,7 @@ class TierPipeline:
                 )
         return sorted(days)
 
-    def _heal(self, spark: SparkSession, wm_raw: int) -> None:
+    def _heal(self, spark: SparkSession, seq: DataFrame, wm_raw: int) -> None:
         """Bring downstream tiers up to raw's committed watermark before
         processing new data (crash-resume for a failure between the raw
         commit and any downstream commit)."""
@@ -207,108 +245,143 @@ class TierPipeline:
             for t in (self.h1, self.d1, self.comp)
             if int(t.property("watermark_es", -1)) < wm_raw
         ]
-        raw_now = None
         if lagging:
             days = self._raw_days_since(
                 min(int(t.property("watermark_es", -1)) for t in lagging)
             )
             if days:
-                raw_now = self.raw.read(spark)
-                self._derive_tiers(spark, raw_now, days, wm_raw)
+                self._derive_tiers(spark, self.raw.read(spark), days, wm_raw)
+        self._ingest_series(spark, seq, wm_raw)
         if self.run_gapfill and int(self.kf_state.property("watermark_es", -1)) < wm_raw:
-            if raw_now is None:
-                raw_now = self.raw.read(spark)
-            self._run_gapfill(spark, raw_now, wm_raw)
+            self._run_gapfill(spark, wm_raw)
 
-    def _run_gapfill(self, spark: SparkSession, raw_now: DataFrame, wm: int) -> dict:
+    def _run_gapfill(self, spark: SparkSession, wm: int) -> dict:
+        """Gap-fill the (source, shard) sub-series with the Kalman kernel.
+
+        Scale shape (the round-1 review's top perf fix): per-(source, shard)
+        doc-wide rows → ONE mapInPandas kernel execution emitting output AND
+        resumable state together (persisted, so the two tier writes share
+        it), grid bounds from a single min/max action, parallelism
+        5 × kf_shards instead of 5.
+        """
         import numpy as np
 
+        series_now = self.series.read(spark)
+        if series_now is None:
+            return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
         lo = self.kf_state.property("grid_lo")
-        if lo is None:
-            lo = int(raw_now.agg(F.min("bucket_es")).first()[0])
-        lo = int(lo)
-        hi = int(raw_now.agg(F.max("bucket_es")).first()[0])
-        m = int((hi - lo) // RAW_SECONDS) + 1
-        t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
-        step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
-        ser = raw_now.filter(F.col("bucket_es") >= F.lit(lo)).select(
-            F.col("source").alias("doc_id"),
-            step.alias("step"),
-            (step * F.lit(RAW_SECONDS / DAY_SECONDS)).alias("t"),
-            F.col("sum_tok").cast("double").alias("value"),
-        )
-
+        b = series_now.agg(
+            F.min("bucket_es").alias("lo"), F.max("bucket_es").alias("hi")
+        ).first()
+        lo = int(b.lo if lo is None else lo)
+        m = int((int(b.hi) - lo) // RAW_SECONDS) + 1
         prev = self.kf_state.read(spark)
         k_done_prev = int(self.kf_state.property("k_done", 0))
-        if prev is None:
-            out = kalman_gapfill(ser, t_grid, self.kf_cfg, num_buckets=8)
-            st = kalman_gapfill(
-                ser, t_grid, self.kf_cfg, num_buckets=8, emit_state=True
+        if prev is not None and m <= k_done_prev:
+            return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
+        t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
+
+        # doc-wide layout: one row per sub-series with a dense step-indexed
+        # value array (missing steps NULL → NaN gaps in the kernel)
+        step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
+        entries = F.collect_list(F.struct(F.col("step"), F.col("value")))
+        wide = (
+            series_now.filter(F.col("bucket_es") >= F.lit(lo))
+            .select(
+                F.concat_ws("/", "source", "shard").alias("doc_id"),
+                step.alias("step"),
+                F.col("sum_tok").cast("double").alias("value"),
             )
-            cover_min_step = 0
-        else:
-            if m <= k_done_prev:
-                return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
-            new_ser = ser.filter(F.col("step") >= F.lit(k_done_prev))
-            out = kalman_resume(new_ser, prev, t_grid, self.kf_cfg, num_buckets=8)
-            st = kalman_resume(
-                new_ser, prev, t_grid, self.kf_cfg, num_buckets=8, emit_state=True
+            .groupBy("doc_id")
+            .agg(F.map_from_entries(entries).alias("_m"))
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda i: F.element_at(F.col("_m"), i),
+                ).alias("values"),
             )
-            # re-emission starts at the previous run's state window origin
+        )
+        if prev is not None:
+            wide = wide.join(prev, "doc_id", "left")
             cover_min_step = int(self.kf_state.property("idx0", 0))
+        else:
+            cover_min_step = 0
 
-        rows = out.select(
-            F.col("doc_id").alias("source"),
-            (F.lit(lo) + F.col("step").cast("long") * F.lit(RAW_SECONDS)).alias(
-                "bucket_es"
-            ),
-            "phase",
-            "std",
-            "innov",
-            "gap_filled",
-        ).withColumn("pday", _pday())
-
-        # stitch: the resume re-emits the overlap window; affected day
-        # partitions get (old rows before the window) ∪ (re-emitted rows)
-        cover_min = lo + cover_min_step * RAW_SECONDS
-        day_start = (int(cover_min) // DAY_SECONDS) * DAY_SECONDS
-        old = self.gap.read(spark)
-        if old is not None:
-            # re-emitted overlap steps carry refined phase/std but not their
-            # historical innovation/gap flags (those belong to the step's
-            # original update) — stitch them back from the previous tier
-            hist = old.select(
-                "source",
-                "bucket_es",
-                F.col("innov").alias("_innov_old"),
-                F.col("gap_filled").alias("_gap_old"),
-            )
+        combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
+        try:
+            out = explode_kf_output(combined, t_grid)
+            src_shard = F.split(F.col("doc_id"), "/")
             rows = (
-                rows.join(hist, ["source", "bucket_es"], "left")
-                .withColumn("innov", F.coalesce("innov", "_innov_old"))
-                .withColumn("gap_filled", F.coalesce("_gap_old", "gap_filled"))
-                .drop("_innov_old", "_gap_old")
+                out
+                # archived steps (before the resume window) carry NaN phases
+                # in the wide arrays (NULL after the pandas→Arrow trip) —
+                # they were emitted by earlier runs
+                .filter(F.col("phase").isNotNull() & ~F.isnan("phase"))
+                .select(
+                    F.element_at(src_shard, 1).alias("source"),
+                    F.element_at(src_shard, 2).cast("int").alias("shard"),
+                    (
+                        F.lit(lo) + F.col("step").cast("long") * F.lit(RAW_SECONDS)
+                    ).alias("bucket_es"),
+                    "phase",
+                    "std",
+                    # NaN (no update at this step) → NULL for the stitch
+                    F.when(F.isnan("innov"), F.lit(None)).otherwise(
+                        F.col("innov")
+                    ).alias("innov"),
+                    "gap_filled",
+                )
+                .withColumn("pday", _pday())
             )
-            keep_old = old.filter(
-                (F.col("bucket_es") >= F.lit(day_start))
-                & (F.col("bucket_es") < F.lit(int(cover_min)))
-            ).select(*rows.columns)
-            rows = keep_old.unionByName(rows)
-        sid = self.gap.overwrite_partitions(
-            rows, ["pday"], properties={"watermark_es": wm}, coalesce=4
-        )
-        n_rows = self.gap.last_commit_rows()
-        # the state's idx0 is uniform across docs (grid-determined): L kept
-        # params + last t_sep phases → idx0 = m − t_sep (m > t_sep here)
-        self.kf_state.overwrite_all(
-            st,
-            properties={
-                "grid_lo": lo,
-                "k_done": m,
-                "idx0": max(0, m - self.kf_cfg.t_sep),
-                "watermark_es": wm,
-            },
-        )
+
+            # stitch: the resume re-emits the overlap window; affected day
+            # partitions get (old rows before the window) ∪ (re-emitted rows)
+            cover_min = lo + cover_min_step * RAW_SECONDS
+            old = self.gap.read(spark)
+            if old is not None:
+                # re-emitted overlap steps carry refined phase/std but not
+                # their historical innovation/gap flags (those belong to the
+                # step's original update) — stitch back from the prior tier
+                hist = old.select(
+                    "source",
+                    "shard",
+                    "bucket_es",
+                    F.col("innov").alias("_innov_old"),
+                    F.col("gap_filled").alias("_gap_old"),
+                )
+                rows = (
+                    rows.join(hist, ["source", "shard", "bucket_es"], "left")
+                    .withColumn("innov", F.coalesce("innov", "_innov_old"))
+                    .withColumn("gap_filled", F.coalesce("_gap_old", "gap_filled"))
+                    .drop("_innov_old", "_gap_old")
+                )
+                # keep prior rows below the overlap window, but only in day
+                # partitions this commit rewrites (cold-started sub-series
+                # emit their full history, touching older days too)
+                keep_old = (
+                    old.filter(F.col("bucket_es") < F.lit(int(cover_min)))
+                    .join(rows.select("pday").distinct(), "pday", "leftsemi")
+                    .select(*rows.columns)
+                )
+                rows = keep_old.unionByName(rows)
+            sid = self.gap.overwrite_partitions(
+                rows, ["pday"], properties={"watermark_es": wm}, coalesce=4
+            )
+            n_rows = self.gap.last_commit_rows()
+            # the state's idx0 is uniform across docs (grid-determined): L
+            # kept params + last t_sep phases → idx0 = m − t_sep
+            self.kf_state.overwrite_all(
+                combined.select("doc_id", "k_done", "idx0", "m", "P"),
+                properties={
+                    "grid_lo": lo,
+                    "k_done": m,
+                    "idx0": max(0, m - self.kf_cfg.t_sep),
+                    "watermark_es": wm,
+                },
+            )
+        finally:
+            combined.unpersist()
         self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
         return {"n_rows": n_rows, "snapshot_id": sid}
 
@@ -331,6 +404,7 @@ class TierPipeline:
             "1h": self.h1,
             "1d": self.d1,
             "compressed": self.comp,
+            "series": self.series,
             "gapfilled": self.gap,
             "state": self.kf_state,
         }[tier]

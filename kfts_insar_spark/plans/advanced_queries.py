@@ -306,7 +306,9 @@ def q_pipeline_resume_consistency(spark, sf_dir):
             "raw": ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"],
             "1h": ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"],
             "1d": ["source", "bucket_es", "n_docs", "sum_tok", "min_tok", "max_tok"],
-            "gapfilled": ["source", "bucket_es", "phase", "std", "innov", "gap_filled"],
+            "gapfilled": [
+                "source", "shard", "bucket_es", "phase", "std", "innov", "gap_filled",
+            ],
         }
         for tier, cols in tier_cols.items():
             va = one.read_tier(spark, tier).select(*cols)

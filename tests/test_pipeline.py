@@ -97,6 +97,7 @@ def test_checkpoint_lineage_records_all_stages(spark, seq, tmp_path):
     stages = {e["stage"] for e in entries}
     assert stages == {
         "tier_raw",
+        "tier_series",
         "tier_1h",
         "tier_1d",
         "tier_compressed",
@@ -177,3 +178,15 @@ def test_heal_after_crash_between_commits(spark, seq, tmp_path_factory):
     assert res["status"] == "noop"
     for tier in ("raw", "1h", "1d", "gapfilled"):
         assert _tier_rows(spark, one, tier) == _tier_rows(spark, pipe, tier), tier
+
+
+def test_gapfill_parallelism_shape(spark, seq, tmp_path):
+    """The KF stage must operate on (source, shard) sub-series — well above
+    the 5-source ceiling — and the state snapshot carries one row each."""
+    pipe = TierPipeline(str(tmp_path), kf_shards=16)
+    pipe.run(spark, seq)
+    st = pipe.read_tier(spark, "state")
+    n_series = st.select("doc_id").distinct().count()
+    assert n_series > 16, n_series  # ~5 sources × 16 shards
+    g = pipe.read_tier(spark, "gapfilled")
+    assert g.select("source", "shard").distinct().count() == n_series
