@@ -15,8 +15,6 @@ Layout convention:
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -69,59 +67,103 @@ def _decode_stub(
     return flat.reshape(height, width, channels)
 
 
+# fingerprint = Σ hist[j]·31^j mod 2^31−1 — integer-vectorizable across the
+# whole batch (counts ≤ 10^4, powers < 2^31 → products < 2^45, exact int64)
+_FP_MOD = 2147483647
+_FP_POWS = np.array([pow(31, j, _FP_MOD) for j in range(16)], dtype=np.int64)
+
+
 def decode_features(
     media: DataFrame, batch_docs: int = 1024, strict: bool | None = None
 ) -> DataFrame:
     """decode → feature-extract as a mapInPandas operator.
 
-    Emits per-doc features: mean/std per channel + a 16-bin intensity
-    histogram fingerprint. The decode itself is the stub above; the Spark
-    plumbing (Arrow batches of binary columns, struct metadata access,
-    vectorized per-batch numpy) is the real, scale-relevant part.
+    Emits per-doc features: mean per channel, overall std, and a 16-bin
+    intensity-histogram fingerprint. Decode is inherently per-item (the
+    codec boundary — stubbed here); EVERYTHING downstream is batch numpy:
+    segments concatenated once, channel sums via np.add.reduceat over the
+    (pixels, channels) view, histograms via one bincount over
+    doc_index·16 + (byte >> 4), fingerprints as an integer polynomial —
+    no per-row Python beyond the decode call.
     """
     schema = (
         "doc_id long, mean_c0 double, mean_c1 double, mean_c2 double, "
         "std_all double, hist_fp long"
     )
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_channels").alias("n_channels"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            metas = pdf["meta"]
-            for doc_id, payload, meta in zip(
-                pdf["doc_id"], pdf["payload"], metas
-            ):
-                img = _decode_stub(
-                    bytes(payload),
-                    meta["width"],
-                    meta["height"],
-                    meta["n_channels"],
-                    strict,
-                )
-                means = img.mean(axis=(0, 1))
-                hist, _ = np.histogram(img, bins=16, range=(0, 256))
-                fp = int(
-                    hashlib.md5(struct.pack("<16q", *hist.tolist())).hexdigest()[:15],
-                    16,
-                )
-                out.append(
-                    (
-                        doc_id,
-                        float(means[0]),
-                        float(means[1]),
-                        float(means[2]),
-                        float(img.std()),
-                        fp,
-                    )
-                )
+            B = len(pdf)
+            if B == 0:
+                continue
+            w = pdf["width"].to_numpy(np.int64)
+            h = pdf["height"].to_numpy(np.int64)
+            cc = pdf["n_channels"].to_numpy(np.int64)
+            sizes = w * h * cc
+            # per-item decode ONLY (codec boundary)
+            seg = np.concatenate(
+                [
+                    _decode_stub(bytes(p), int(wi), int(hi), int(ci), strict).reshape(-1)
+                    for p, wi, hi, ci in zip(pdf["payload"], w, h, cc)
+                ]
+            )
+            offs = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(sizes, out=offs[1:])
+
+            means = np.full((B, 3), np.nan)
+            stds = np.empty(B)
+            # vectorize per distinct channel count (one group in practice)
+            seg64 = seg.astype(np.int64)
+            segsq = seg64 * seg64
+            for c in np.unique(cc):
+                rows = np.flatnonzero(cc == c)
+                # gather this group's segments contiguously
+                take = np.concatenate(
+                    [np.arange(offs[i], offs[i + 1]) for i in rows]
+                ) if len(rows) < B else None
+                g = seg64 if take is None else seg64[take]
+                gsq = segsq if take is None else segsq[take]
+                gsizes = sizes[rows]
+                goffs = np.zeros(len(rows) + 1, dtype=np.int64)
+                np.cumsum(gsizes, out=goffs[1:])
+                m2 = g.reshape(-1, c)
+                ch_sums = np.add.reduceat(m2, goffs[:-1] // c, axis=0)  # (Bg,c)
+                npix = (gsizes // c).astype(np.float64)
+                means[rows, : min(c, 3)] = (ch_sums[:, :3] / npix[:, None])[
+                    :, : min(c, 3)
+                ]
+                sum_all = ch_sums.sum(axis=1)
+                sumsq = np.add.reduceat(gsq, goffs[:-1])
+                mean_all = sum_all / gsizes
+                var = sumsq / gsizes - mean_all * mean_all
+                stds[rows] = np.sqrt(np.maximum(var, 0.0))
+
+            # 16-bin histogram per doc in ONE bincount over a combined key
+            doc_idx = np.repeat(np.arange(B, dtype=np.int64), sizes)
+            hist = np.bincount(
+                doc_idx * 16 + (seg >> 4), minlength=B * 16
+            ).reshape(B, 16)
+            fp = (hist.astype(np.int64) * _FP_POWS).sum(axis=1) % _FP_MOD
+
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id", "mean_c0", "mean_c1", "mean_c2", "std_all", "hist_fp",
-                ],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "mean_c0": means[:, 0],
+                    "mean_c1": means[:, 1],
+                    "mean_c2": means[:, 2],
+                    "std_all": stds,
+                    "hist_fp": fp,
+                }
             )
 
-    return media.mapInPandas(run, schema=schema)
+    return flat.mapInPandas(run, schema=schema)
 
 
 def resize_stub(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:

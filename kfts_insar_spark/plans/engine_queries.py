@@ -93,40 +93,123 @@ def q_seq_invariant_violations(spark, sf_dir):
     )
 
 
-def q_kf_gapfill_phases(spark, sf_dir):
-    """Gap-fill the per-(source) raw-tier token series with the Kalman kernel
-    (non-SQL-expressible: ordered stateful scan with matrix state →
-    rows-only check; golden correctness lives in tests/test_kalman.py)."""
+_KF_CFG = KFConfig(model=[("POLY", 1)], sig_y=5e4, sig_i=1e4, sig_a=1e7, t_sep=4)
+
+
+def _kf_series(spark, sf_dir):
+    """(series long-form, t_grid, m) for the per-source raw-tier token
+    series — shared by the KF surface queries. ONE bounds action."""
     raw = rollup_raw(_seq(spark, sf_dir))
-    lo = raw.agg(F.min("bucket_es")).first()[0]
-    hi = raw.agg(F.max("bucket_es")).first()[0]
+    lo, hi = raw.agg(F.min("bucket_es"), F.max("bucket_es")).first()
     m = int((hi - lo) // RAW_SECONDS) + 1
     t = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
+    step = ((F.col("bucket_es") - F.lit(int(lo))) / RAW_SECONDS).cast("int")
     ser = raw.select(
         F.col("source").alias("doc_id"),
-        ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int").alias("step"),
-        (
-            ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
-            * F.lit(RAW_SECONDS / DAY_SECONDS)
-        ).alias("t"),
+        step.alias("step"),
+        (step * F.lit(RAW_SECONDS / DAY_SECONDS)).alias("t"),
         F.col("sum_tok").cast("double").alias("value"),
     )
-    cfg = KFConfig(model=[("POLY", 1)], sig_y=5e4, sig_i=1e4, sig_a=1e7, t_sep=4)
-    return kalman_gapfill(ser, t, cfg, num_buckets=8)
+    return ser, t, m
+
+
+def _kf_dense_oracle(ser, t_grid):
+    """In-query reference recomputation: the dense explicit-matrix filter
+    (kalman_direct_oracle — the reference's per-pixel formulation,
+    kf/KF_class.py:251-307) run per doc via applyInPandas."""
+    import pandas as pd
+
+    from ..operators.kalman import kalman_direct_oracle
+
+    M = len(t_grid)
+
+    def run(pdf):
+        frames = []
+        for doc, g in pdf.groupby("doc_id", sort=False):
+            y = np.full(M, np.nan)
+            y[g["step"].to_numpy(np.int64)] = g["value"].to_numpy(np.float64)
+            res = kalman_direct_oracle(y, t_grid, _KF_CFG)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc,
+                        "step": np.arange(M, dtype=np.int32),
+                        "phase_o": res["phase"],
+                        "std_o": res["std"],
+                        "innov_o": res["innov"],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return ser.groupBy("doc_id").applyInPandas(
+        run, "doc_id string, step int, phase_o double, std_o double, innov_o double"
+    )
+
+
+def _rel_mismatch(a, b, tol):
+    """1 where |a−b| > tol·max(|b|, 1), treating NULL≠non-NULL as mismatch."""
+    diff_ok = F.abs(F.col(a) - F.col(b)) <= F.lit(tol) * F.greatest(
+        F.abs(F.col(b)), F.lit(1.0)
+    )
+    both_null = F.col(a).isNull() & F.col(b).isNull()
+    return F.when(both_null | diff_ok, F.lit(0)).otherwise(F.lit(1))
+
+
+def q_kf_gapfill_phases(spark, sf_dir):
+    """KF gap-fill output surface, value-checked (W1/W3): the distributed
+    batch kernel's phases/stds per source vs an IN-QUERY dense-oracle
+    recomputation — per-source row (n_steps, n_mismatch) with n_steps
+    SQL-derivable from the bucket grid and n_mismatch exactly 0."""
+    ser, t, m = _kf_series(spark, sf_dir)
+    out = kalman_gapfill(ser, t, _KF_CFG, num_buckets=8)
+    ora = _kf_dense_oracle(ser, t)
+    j = out.join(ora, ["doc_id", "step"], "inner")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum(
+            _rel_mismatch("phase", "phase_o", 1e-8)
+            + _rel_mismatch("std", "std_o", 1e-6)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
 
 
 def q_kf_innovation_stats(spark, sf_dir):
-    """Innovation whiteness maps (A5, reference checkinnov.py:94-107):
-    mean / median / std / last of the innovation sequence per series, plus
-    gap counts — the engine's own post-hoc QA query over the KF output.
-    Non-SQL-expressible upstream (stateful kernel) → rows-only check."""
-    out = q_kf_gapfill_phases(spark, sf_dir)
-    return out.groupBy("doc_id").agg(
-        F.avg("innov").alias("mean_innov"),
-        F.expr("percentile(innov, 0.5)").alias("med_innov"),
-        F.stddev("innov").alias("std_innov"),
+    """Innovation whiteness maps (A5, reference checkinnov.py:94-107),
+    value-checked: per-series observation/gap counts are SQL-derivable from
+    the bucket grid (the innovation exists exactly where a step > 0 has
+    data); the non-SQL-expressible stats (mean/median/std innovation) are
+    checked against the in-query dense oracle and reported as a mismatch
+    count (exactly 0)."""
+    ser, t, m = _kf_series(spark, sf_dir)
+    out = kalman_gapfill(ser, t, _KF_CFG, num_buckets=8)
+    ora = _kf_dense_oracle(ser, t)
+    j = out.join(ora, ["doc_id", "step"], "inner")
+    per_doc = j.groupBy("doc_id").agg(
         F.count("innov").cast("long").alias("n_obs"),
         F.sum(F.col("gap_filled").cast("long")).cast("long").alias("n_gaps"),
+        F.avg("innov").alias("_mean"),
+        F.expr("percentile(innov, 0.5)").alias("_med"),
+        F.stddev("innov").alias("_std"),
+        F.avg("innov_o").alias("_mean_o"),
+        F.expr("percentile(innov_o, 0.5)").alias("_med_o"),
+        F.stddev("innov_o").alias("_std_o"),
+        F.sum(_rel_mismatch("innov", "innov_o", 1e-6)).cast("long").alias("_row_mm"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_obs",
+        "n_gaps",
+        (
+            F.col("_row_mm")
+            + _rel_mismatch("_mean", "_mean_o", 1e-6)
+            + _rel_mismatch("_med", "_med_o", 1e-6)
+            + _rel_mismatch("_std", "_std_o", 1e-6)
+        )
+        .cast("long")
+        .alias("stats_mismatch"),
     )
 
 
@@ -187,8 +270,8 @@ QUERIES = {
     "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
     "seq_token_fingerprint": q_seq_token_fingerprint,
     "seq_invariant_violations": q_seq_invariant_violations,
-    "kf_gapfill_phases": q_kf_gapfill_phases,  # rows-only
-    "kf_innovation_stats": q_kf_innovation_stats,  # rows-only
+    "kf_gapfill_phases": q_kf_gapfill_phases,
+    "kf_innovation_stats": q_kf_innovation_stats,
     "kf_resume_consistency": q_kf_resume_consistency,
 }
 
@@ -219,6 +302,35 @@ FROM seq
 """,
     "seq_invariant_violations": """
 SELECT CAST(0 AS BIGINT) AS violations
+""",
+    # the KF surface queries: per-source grid counts are derivable from the
+    # bucket lattice; the stateful stats are self-checked in-query against
+    # the dense oracle, so their mismatch columns are the constant 0
+    "kf_gapfill_phases": f"""
+WITH seq AS ({_oracle_seq()}),
+raw AS (SELECT source, CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT)
+               AS bucket_es
+        FROM seq GROUP BY 1, 2),
+g AS (SELECT min(bucket_es) AS lo, max(bucket_es) AS hi FROM raw)
+SELECT source AS doc_id,
+       CAST((SELECT (hi - lo) // {RAW_SECONDS} + 1 FROM g) AS BIGINT) AS n_steps,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM raw GROUP BY 1
+""",
+    "kf_innovation_stats": f"""
+WITH seq AS ({_oracle_seq()}),
+raw AS (SELECT source, CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT)
+               AS bucket_es
+        FROM seq GROUP BY 1, 2),
+g AS (SELECT min(bucket_es) AS lo, max(bucket_es) AS hi FROM raw)
+SELECT source AS doc_id,
+       CAST(count(DISTINCT CASE WHEN bucket_es > (SELECT lo FROM g)
+                                THEN bucket_es END) AS BIGINT) AS n_obs,
+       CAST((SELECT (hi - lo) // {RAW_SECONDS} FROM g)
+            - count(DISTINCT CASE WHEN bucket_es > (SELECT lo FROM g)
+                                  THEN bucket_es END) AS BIGINT) AS n_gaps,
+       CAST(0 AS BIGINT) AS stats_mismatch
+FROM raw GROUP BY 1
 """,
     "kf_resume_consistency": """
 SELECT CAST(0 AS BIGINT) AS n_mismatch

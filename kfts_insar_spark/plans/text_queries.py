@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from .common import load
 
 P = 1_000_000_007
+# shingle document-frequency cap for near-dedup (drop boilerplate shingles
+# that would make the shingle self-join quadratic on a hot key)
+NGRAM_DF_CAP = 64
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
@@ -167,12 +170,27 @@ def q_doc_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup pairs by word-3-gram Jaccard ≥ τ: explode distinct shingles
     → equi-join on shingle → |A∩B| per pair → Jaccard from set sizes.
     At 100 TB the same plan holds with the shingle column bucketed; the
-    shingle join is the scale path (no all-pairs cross join)."""
+    shingle join is the scale path (no all-pairs cross join).
+
+    Shingle document-frequency cap: one boilerplate shingle present in k
+    docs makes k² join rows — a quadratic blowup on a hot key at 10^12
+    docs. Shingles with df > NGRAM_DF_CAP carry ~zero Jaccard signal, so
+    they are dropped from the shingle UNIVERSE (intersections AND set
+    sizes), standard near-dedup practice; the DuckDB oracle mirrors the
+    cap exactly."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     )
-    sized = d.select("doc_id", "sh", F.size("sh").alias("n_sh"))
-    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    ex0 = d.select("doc_id", F.explode("sh").alias("s"))
+    keep = (
+        ex0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(NGRAM_DF_CAP))
+        .select("s")
+    )
+    kept = ex0.join(keep, "s")  # equi-join on shingle (reused key below)
+    n_sh = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
+    ex = kept.join(n_sh, "doc_id")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -203,6 +221,15 @@ def q_doc_minhash_lsh(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
     )
+    # same document-frequency cap as the Jaccard path: hot shingles add no
+    # signature signal and skew the min-hash shuffle key
+    keep = (
+        d.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(NGRAM_DF_CAP))
+        .select("s")
+    )
+    d = d.join(keep, "s")
     # (expression built via selectExpr for exact parity with the SQL oracle)
     hashed = d.selectExpr("doc_id", f"{_poly_hash_expr('s')} AS h")
     ks = spark.range(MINHASH_K).selectExpr(
@@ -444,8 +471,12 @@ FROM documents GROUP BY 1
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL.format(w=_W)} AS shingles FROM documents
 ),
-sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
-ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}),
+kept AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
+sized AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM kept GROUP BY 1),
+ex AS (SELECT kept.doc_id, sized.n_sh, kept.s
+       FROM kept JOIN sized USING (doc_id)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS n_inter
@@ -461,7 +492,9 @@ WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_TAU}
 WITH sh AS (
   SELECT doc_id, unnest({_SHINGLES_SQL.format(w=_W)}) AS s FROM documents
 ),
-hashed AS (SELECT doc_id, {_poly_hash_sql('s')} AS h FROM sh),
+keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}),
+shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+hashed AS (SELECT doc_id, {_poly_hash_sql('s')} AS h FROM shk),
 ks AS (SELECT CAST(j AS INT) AS j, CAST(2*j+1 AS BIGINT) AS aj,
               CAST(j*7919+1 AS BIGINT) AS bj
        FROM range({MINHASH_K}) t(j)),

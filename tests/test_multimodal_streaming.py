@@ -92,3 +92,35 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_decode_features_matches_rowwise_reference(spark, media):
+    """The batch-vectorized feature path (reduceat sums, bincount
+    histograms, polynomial fingerprint) must equal a straightforward
+    per-image numpy reference."""
+    from kfts_insar_spark.operators.multimodal import (
+        _FP_MOD,
+        _FP_POWS,
+        _decode_stub,
+    )
+
+    sample = media.orderBy("doc_id").limit(50).collect()
+    got = (
+        decode_features(media.orderBy("doc_id").limit(50))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for r in sample:
+        img = _decode_stub(
+            bytes(r.payload), r.meta.width, r.meta.height, r.meta.n_channels
+        )
+        means = img.mean(axis=(0, 1))
+        hist, _ = np.histogram(img, bins=16, range=(0, 256))
+        fp = int((hist.astype(np.int64) * _FP_POWS).sum() % _FP_MOD)
+        g = got.loc[r.doc_id]
+        np.testing.assert_allclose(
+            [g.mean_c0, g.mean_c1, g.mean_c2], means, rtol=1e-12
+        )
+        np.testing.assert_allclose(g.std_all, img.std(), rtol=1e-9)
+        assert int(g.hist_fp) == fp

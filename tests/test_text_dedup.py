@@ -1,0 +1,60 @@
+"""Near-dedup scale guard: the shingle document-frequency cap must bound the
+shingle self-join under an adversarial hot-shingle fixture (one boilerplate
+3-gram shared by every doc would otherwise produce k² join rows) while still
+finding genuine near-duplicates."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kfts_insar_spark.plans.text_queries import (
+    NGRAM_DF_CAP,
+    q_doc_ngram_jaccard_pairs,
+    q_doc_minhash_lsh,
+    _shingles,
+)
+
+
+def _write_documents(spark, path: str, texts: list[tuple[str, str]]) -> str:
+    pdf = pd.DataFrame(texts, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    return path
+
+
+def test_hot_shingle_cap_bounds_join_rows(spark, tmp_path):
+    k = 4 * NGRAM_DF_CAP  # hot shingle df = 256 >> cap
+    docs = [
+        (f"d{i:04d}", f"the quick fox u{i} v{i} w{i}") for i in range(k)
+    ]
+    # one genuine duplicate pair (identical shingle sets → all LSH bands hit)
+    docs.append(("dup_a", "alpha beta gamma delta epsilon"))
+    docs.append(("dup_b", "alpha beta gamma delta epsilon"))
+    sf_dir = _write_documents(spark, str(tmp_path), docs)
+
+    got = q_doc_ngram_jaccard_pairs(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    # the k docs share ONLY the capped boilerplate shingle → no pairs among
+    # them (uncapped this join alone is k·(k−1)/2 ≈ 32k rows)
+    assert pairs == {("dup_a", "dup_b")}, pairs
+
+    # join-row bound, measured on the capped shingle universe itself: every
+    # kept shingle has df ≤ cap, so candidate rows ≤ Σ df·(df−1)/2 stays
+    # linear in docs, not quadratic
+    from kfts_insar_spark.plans.common import load
+
+    ex = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    )
+    df = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept_max = df.filter(F.col("df") <= NGRAM_DF_CAP).agg(F.max("df")).first()[0]
+    assert kept_max <= NGRAM_DF_CAP
+    hot = df.filter(F.col("df") > NGRAM_DF_CAP).collect()
+    assert len(hot) == 1 and hot[0].df == k  # the fixture's boilerplate
+
+    # minhash path shares the cap: the hot shingle contributes to no
+    # signature, so LSH candidates stay bounded too
+    cand = q_doc_minhash_lsh(spark, sf_dir).collect()
+    assert ("dup_a", "dup_b") in {(r.doc_a, r.doc_b) for r in cand}
+    assert len(cand) < 4 * k  # far below the k²/2 uncapped blowup
