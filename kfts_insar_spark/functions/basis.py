@@ -117,6 +117,41 @@ def _needs_resolve(model: Model) -> bool:
     return any(mod[0] in ("BSPLINE", "ISPLINE") for mod in model)
 
 
+def param_schedule(model: Model) -> list[tuple[float, float] | None]:
+    """Per-parameter event timing for lazy model growth (the reference's
+    ``expend_model`` conditions, kf/timefunction.py:487-557): None for
+    always-live params (polynomials, seasonal terms), else (event_time,
+    width_allowance) — the param becomes relevant once
+    ``event_time <= t + anticipation + width_allowance``."""
+    out: list[tuple[float, float] | None] = []
+    for mod in model:
+        kind = mod[0]
+        if kind == "POLY":
+            out.extend(None for _ in range(mod[1] + 1))
+        elif kind in ("SIN", "COS"):
+            out.append(None)
+        elif kind == "STEP":
+            out.extend((float(t0), 0.0) for t0 in mod[1:])
+        elif kind == "HTAN":
+            out.extend(
+                (float(t0), float(w)) for t0, w in zip(mod[1::2], mod[2::2])
+            )
+        elif kind in ("EXP", "LOG"):
+            out.append((float(mod[1]), float(mod[2])))
+        elif kind in ("BSPLINE", "ISPLINE"):
+            out.extend(
+                (float(c), float(w)) for c, w in zip(mod[2::2], mod[3::2])
+            )
+        elif kind in _RESOLVED_SPLINES:
+            out.append((float(mod[2]), float(mod[3])))
+        elif kind == "LISEG":
+            out.append(None)  # constant a0
+            out.extend((float(t0), 0.0) for t0 in mod[1:])
+        else:
+            raise ValueError(f"unknown model element {kind!r}")
+    return out
+
+
 # ------------------------------------------------------------- numpy forms
 def basis_row(model: Model, t: float) -> np.ndarray:
     """One row of the design matrix — reference ``transition_vect``

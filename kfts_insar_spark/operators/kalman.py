@@ -55,8 +55,22 @@ from ..functions.basis import (
     basis_matrix,
     basis_row,
     n_params,
+    param_schedule,
     resolve_model,
 )
+
+
+def _arrival_steps(model: Model, t: np.ndarray, dt: float) -> np.ndarray:
+    """Per-param first live step for lazy growth: 0 for always-live params,
+    else the first k with t[k] >= event_time − dt − width_allowance (the
+    reference's ``expend_model`` trigger, kf/timefunction.py:487-557)."""
+    sched = param_schedule(model)
+    arr = np.zeros(len(sched), dtype=np.int64)
+    for j, ev in enumerate(sched):
+        if ev is not None:
+            te, wd = ev
+            arr[j] = int(np.searchsorted(t, te - dt - wd, side="left"))
+    return arr
 from ..schema import KF_OUTPUT, KF_STATE
 
 
@@ -72,6 +86,12 @@ class KFConfig:
     m_err: float = 0.0  # process noise on params
     phi_err: float = 0.0  # process noise on archived phases
     t_sep: int = 4  # phases kept in state (reference default 6, cap 10)
+    # lazy model growth (reference expend_model/expend_m_P,
+    # kf/timefunction.py:487-557 + kf/KF_class.py:381-402,544-550): event
+    # params enter the state only once event_time <= t + grow_dt (+width),
+    # with a-priori variance grow_var (the reference hardcodes 70²)
+    grow_dt: float | None = None
+    grow_var: float = 4900.0
 
     @property
     def L(self) -> int:
@@ -106,11 +126,20 @@ def kalman_direct_batch(
     B, M = values.shape
     L, ts = cfg.L, cfg.t_sep
     R = cfg.sig_i**2
+    model = resolve_model(cfg.model, t)
 
     phase = np.full((B, M), np.nan)
     std = np.full((B, M), np.nan)
     innov = np.full((B, M), np.nan)
     gap = np.zeros((B, M), dtype=bool)
+
+    # lazy model growth: per-param first live step (all 0 when disabled)
+    grow = cfg.grow_dt is not None
+    arr = (
+        _arrival_steps(model, t, cfg.grow_dt)
+        if grow
+        else np.zeros(L, dtype=np.int64)
+    )
 
     if init is not None:
         X = np.array(init["X"], dtype=np.float64)
@@ -118,19 +147,27 @@ def kalman_direct_batch(
         idx0 = int(init["idx0"])
         k_start = int(init["k_done"])
         n = X.shape[1]
+        live = arr <= max(0, k_start - 1)
+        L_live = int(live.sum())
+        if L_live != n - (k_start - idx0):
+            raise ValueError(
+                "state width inconsistent with the model's growth schedule"
+            )
     else:
         # init: params 0 with variance sig_a², phase_0 pinned to 0 (variance 0)
-        n = L + 1
+        live = arr == 0
+        L_live = int(live.sum())
+        n = L_live + 1
         X = np.zeros((B, n))
         P = np.zeros((B, n, n))
-        P[:, np.arange(L), np.arange(L)] = cfg.sig_a**2
+        P[:, np.arange(L_live), np.arange(L_live)] = cfg.sig_a**2
         # observation at step 0 defines the datum: phase_0 ≡ 0 exactly
         phase[:, 0] = 0.0
         std[:, 0] = 0.0
         idx0 = 0  # step index of the first phase currently in state
         k_start = 1
 
-    bas = basis_matrix(cfg.model, t)  # (M, L)
+    bas = basis_matrix(model, t)  # (M, L)
 
     # Single persistent state buffer sized to the steady-state maximum
     # (L + t_sep + 1, right before compaction). The naive formulation
@@ -151,20 +188,45 @@ def kalman_direct_batch(
     scr = np.empty((B, n_max, n_max))
     X, P = Xb, Pb
 
-    diagL = np.arange(L)
+    L_trace = np.full(M, -1, dtype=np.int32)
 
     for k in range(k_start, M):
-        b = bas[k]  # (L,)
+        # ---- lazy growth: event params whose time is within grow_dt of
+        # t[k] enter the state (zero mean, grow_var variance, inserted at
+        # their model-order position — reference expend_m_P)
+        if grow and L_live < L:
+            for j in np.flatnonzero((arr <= k) & ~live):
+                pos = int(live[:j].sum())
+                ln = n - pos
+                t1 = scr[:, 0, :ln]
+                t1[:] = X[:, pos:n]
+                X[:, pos + 1 : n + 1] = t1
+                X[:, pos] = 0.0
+                t2 = scr[:, :ln, :n]
+                t2[:] = P[:, pos:n, :n]
+                P[:, pos + 1 : n + 1, :n] = t2
+                P[:, pos, : n + 1] = 0.0
+                t3 = scr[:, : n + 1, :ln]
+                t3[:] = P[:, : n + 1, pos:n]
+                P[:, : n + 1, pos + 1 : n + 1] = t3
+                P[:, : n + 1, pos] = 0.0
+                P[:, pos, pos] = cfg.grow_var
+                live[j] = True
+                L_live += 1
+                n += 1
+
+        b = bas[k][live] if grow else bas[k]  # (L_live,)
         # ---- predict: append model-forecast phase (blocked A = [[I],[b,0…]])
         # C/v_new from pre-Q P (== A P Aᵀ border), then Q on the diagonal
         C = Cbuf[:, :n]
-        np.einsum("l,bln->bn", b, P[:, :L, :n], out=C)  # cov(new, state)
-        v_new = np.einsum("l,blm,m->b", b, P[:, :L, :L], b) + cfg.add_err
-        np.matmul(X[:, :L], b, out=X[:, n])
+        np.einsum("l,bln->bn", b, P[:, :L_live, :n], out=C)  # cov(new, state)
+        v_new = np.einsum("l,blm,m->b", b, P[:, :L_live, :L_live], b) + cfg.add_err
+        np.matmul(X[:, :L_live], b, out=X[:, n])
         if cfg.m_err:
-            P[:, diagL, diagL] += cfg.m_err
+            dl = np.arange(L_live)
+            P[:, dl, dl] += cfg.m_err
         if cfg.phi_err:
-            P[:, np.arange(L, n), np.arange(L, n)] += cfg.phi_err
+            P[:, np.arange(L_live, n), np.arange(L_live, n)] += cfg.phi_err
         P[:, n, :n] = C
         P[:, :n, n] = C
         P[:, n, n] = v_new
@@ -189,35 +251,40 @@ def kalman_direct_batch(
 
         # ---- compaction every step (reference's always-true condition)
         if k >= ts:
-            n_drop = (n - L) - ts
+            n_drop = (n - L_live) - ts
             if n_drop > 0:
                 steps = np.arange(idx0, idx0 + n_drop)
-                phase[:, steps] = X[:, L : L + n_drop]
-                dvar = P[:, np.arange(L, L + n_drop), np.arange(L, L + n_drop)]
+                phase[:, steps] = X[:, L_live : L_live + n_drop]
+                dvar = P[
+                    :,
+                    np.arange(L_live, L_live + n_drop),
+                    np.arange(L_live, L_live + n_drop),
+                ]
                 std[:, steps] = np.sqrt(np.abs(dvar))
                 nk = n - n_drop
                 # shift kept phases up/left via scratch (overlap-safe)
                 t1 = scr[:, 0, :ts]
-                t1[:] = X[:, L + n_drop : n]
-                X[:, L:nk] = t1
+                t1[:] = X[:, L_live + n_drop : n]
+                X[:, L_live:nk] = t1
                 t2 = scr[:, :n, :ts]
-                t2[:] = P[:, :n, L + n_drop : n]
-                P[:, :n, L:nk] = t2
+                t2[:] = P[:, :n, L_live + n_drop : n]
+                P[:, :n, L_live:nk] = t2
                 t3 = scr[:, :ts, :nk]
-                t3[:] = P[:, L + n_drop : n, :nk]
-                P[:, L:nk, :nk] = t3
+                t3[:] = P[:, L_live + n_drop : n, :nk]
+                P[:, L_live:nk, :nk] = t3
                 idx0 += n_drop
                 n = nk
+        L_trace[k] = L_live
 
     X = Xb[:, :n].copy()
     P = Pb[:, :n, :n].copy()
 
     # ---- flush remaining phases (reference kf() epilogue, KF_class.py:561-565)
     # state (X, P) is NOT modified by the flush — it remains resumable
-    rem = n - L
+    rem = n - L_live
     steps = np.arange(idx0, idx0 + rem)
-    phase[:, steps] = X[:, L:]
-    pv = P[:, np.arange(L, n), np.arange(L, n)]
+    phase[:, steps] = X[:, L_live:]
+    pv = P[:, np.arange(L_live, n), np.arange(L_live, n)]
     std[:, steps] = np.sqrt(np.abs(pv))
 
     return {
@@ -229,6 +296,7 @@ def kalman_direct_batch(
         "P": P,
         "idx0": idx0,
         "k_done": M,
+        "L_trace": L_trace,
     }
 
 
@@ -248,16 +316,34 @@ def kalman_direct_oracle(
     std = np.full(M, np.nan)
     innov = np.full(M, np.nan)
 
-    m = np.zeros(L + 1)  # params + phase0 (pinned 0)
-    P = np.diag([cfg.sig_a**2] * L + [0.0])
+    grow = cfg.grow_dt is not None
+    arr = (
+        _arrival_steps(model, t, cfg.grow_dt)
+        if grow
+        else np.zeros(L, dtype=np.int64)
+    )
+    live = arr == 0
+    L_live = int(live.sum())
+
+    m = np.zeros(L_live + 1)  # live params + phase0 (pinned 0)
+    P = np.diag([cfg.sig_a**2] * L_live + [0.0])
     idx0 = 0
     phase[0], std[0] = 0.0, 0.0
+    L_trace = np.full(M, -1, dtype=np.int32)
 
     for k in range(1, M):
+        if grow:
+            for j in np.flatnonzero((arr <= k) & ~live):
+                pos = int(live[:j].sum())
+                m = np.insert(m, pos, 0.0)
+                P = np.insert(np.insert(P, pos, 0.0, axis=0), pos, 0.0, axis=1)
+                P[pos, pos] = cfg.grow_var
+                live[j] = True
+                L_live += 1
         n = len(m)
         A = np.vstack([np.eye(n), np.zeros(n)])
-        A[n, :L] = basis_row(model, float(t[k]))
-        Q = np.diag([cfg.m_err] * L + [cfg.phi_err] * (n + 1 - L))
+        A[n, :L_live] = basis_row(model, float(t[k]))[live]
+        Q = np.diag([cfg.m_err] * L_live + [cfg.phi_err] * (n + 1 - L_live))
         Q[-1, -1] = cfg.add_err
         mf = A @ m
         Pf = A @ P @ A.T + Q
@@ -275,20 +361,84 @@ def kalman_direct_oracle(
             m, P = mf, Pf
 
         if k >= ts:
-            n_drop = (len(m) - L) - ts
+            n_drop = (len(m) - L_live) - ts
             if n_drop > 0:
                 for d in range(n_drop):
-                    phase[idx0 + d] = m[L + d]
-                    std[idx0 + d] = np.sqrt(abs(P[L + d, L + d]))
-                keep = list(range(L)) + list(range(L + n_drop, len(m)))
+                    phase[idx0 + d] = m[L_live + d]
+                    std[idx0 + d] = np.sqrt(abs(P[L_live + d, L_live + d]))
+                keep = list(range(L_live)) + list(range(L_live + n_drop, len(m)))
                 m = m[keep]
                 P = P[np.ix_(keep, keep)]
                 idx0 += n_drop
+        L_trace[k] = L_live
 
-    for d in range(len(m) - L):
-        phase[idx0 + d] = m[L + d]
-        std[idx0 + d] = np.sqrt(abs(P[L + d, L + d]))
-    return {"phase": phase, "std": std, "innov": innov, "m": m, "P": P}
+    for d in range(len(m) - L_live):
+        phase[idx0 + d] = m[L_live + d]
+        std[idx0 + d] = np.sqrt(abs(P[L_live + d, L_live + d]))
+    return {
+        "phase": phase,
+        "std": std,
+        "innov": innov,
+        "m": m,
+        "P": P,
+        "L_trace": L_trace,
+    }
+
+
+def retire_params(
+    X: np.ndarray, P: np.ndarray, model: Model, t_start: float, dtmax: float
+) -> tuple[Model, np.ndarray, np.ndarray]:
+    """Param retirement / state-TTL fold at restart (the reference's
+    ``identify_outdated`` + ``remove_oldstuff``, kf/timefunction.py:559-664):
+    STEP amplitudes of events older than ``t_start − dtmax`` are folded into
+    the POLY constant term, removed from the state, and the constant is
+    FIXED (its variance and covariances zeroed — treated as converged).
+
+    X: (B, n) states, P: (B, n, n) covariances (batch across docs).
+    Returns (reduced_model, X', P'). Reference no-op conditions replicated:
+    a series starting earlier than dtmax keeps the full model.
+    """
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    P = np.asarray(P, dtype=np.float64)
+    if P.ndim == 2:
+        P = P[None]
+    if t_start < dtmax:  # reference: "existing model agrees" (no-op)
+        return model, X, P
+
+    cst = None
+    idx = 0
+    drop: list[int] = []
+    newmodel: Model = []
+    for mod in model:
+        k_el = n_params([mod])
+        if mod[0] == "POLY" and cst is None:
+            cst = idx
+        if mod[0] == "STEP":
+            keep_times = [
+                t0 for i, t0 in enumerate(mod[1:]) if not t_start > t0 + dtmax
+            ]
+            drop.extend(
+                idx + i
+                for i, t0 in enumerate(mod[1:])
+                if t_start > t0 + dtmax
+            )
+            if keep_times:
+                newmodel.append(("STEP", *keep_times))
+        else:
+            newmodel.append(mod)
+        idx += k_el
+    if cst is None or not drop:
+        return model, X, P
+
+    dY = X[:, drop].sum(axis=1)
+    keep = [j for j in range(X.shape[1]) if j not in drop]
+    cst_new = cst - sum(1 for j in drop if j < cst)
+    Xn = X[:, keep].copy()
+    Pn = P[:, keep][:, :, keep].copy()
+    Xn[:, cst_new] += dY
+    Pn[:, cst_new, :] = 0.0
+    Pn[:, :, cst_new] = 0.0
+    return newmodel, Xn, Pn
 
 
 # --------------------------------------------------------------------------

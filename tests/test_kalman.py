@@ -324,3 +324,86 @@ def test_resume_mixed_strata_and_cold_start(spark):
         o = one.loc[(r.doc_id, r.step)]
         np.testing.assert_allclose(r.phase, o.phase, rtol=1e-11)
         np.testing.assert_allclose(r["std"], o["std"], rtol=1e-9)
+
+
+def test_lazy_growth_matches_dense_oracle_and_dim_trace():
+    """Lazy model growth (reference expend_model/expend_m_P,
+    kf/timefunction.py:487-557, KF_class.py:381-402,544-550): the STEP
+    param enters the state only as t approaches the event; batch kernel ==
+    dense oracle, and the state-dim trace shows the mid-series arrival."""
+    cfg = KFConfig(
+        model=MODEL, sig_y=1.0, sig_i=0.5, sig_a=30.0, t_sep=4,
+        grow_dt=0.1, grow_var=70.0**2,
+    )
+    truth, y, _, _ = make_series(6)
+    res = kalman_direct_batch(y, T, cfg)
+    for b in range(6):
+        ora = kalman_direct_oracle(y[b], T, cfg)
+        np.testing.assert_allclose(res["phase"][b], ora["phase"], rtol=1e-8)
+        np.testing.assert_allclose(res["std"][b], ora["std"], rtol=1e-6)
+        assert (res["L_trace"] == ora["L_trace"]).all()
+    # dim trace: 3 always-live params (POLY(1)=2 + SIN + COS = 4) before the
+    # event approaches, 5 once the STEP enters at the scheduled step
+    k_arr = int(np.searchsorted(T, 1.5 - 0.1))
+    tr = res["L_trace"][1:]
+    assert (tr[: k_arr - 1] == 4).all(), tr[:5]
+    assert (tr[k_arr - 1 :] == 5).all()
+    # the grown model still tracks the truth through the event
+    rms = np.sqrt(np.nanmean((res["phase"] - truth) ** 2))
+    assert rms < 1.0, rms
+
+
+def test_growth_resume_consistency():
+    """Update-mode restart across a growth boundary: state emitted BEFORE
+    the event param existed resumes correctly (live set reconstructed from
+    the schedule) and matches the one-shot run exactly."""
+    cfg = KFConfig(
+        model=MODEL, sig_y=1.0, sig_i=0.5, sig_a=30.0, t_sep=4,
+        grow_dt=0.1, grow_var=70.0**2,
+    )
+    _, y, _, _ = make_series(5)
+    k_arr = int(np.searchsorted(T, 1.5 - 0.1))
+    k_split = k_arr - 5  # split before the STEP param arrives
+    assert k_split > cfg.t_sep + 2
+    one = kalman_direct_batch(y, T, cfg)
+    r1 = kalman_direct_batch(y[:, :k_split], T[:k_split], cfg)
+    y2 = y.copy()
+    y2[:, : k_split] = np.nan  # resume consumes only new steps
+    r2 = kalman_direct_batch(
+        y2, T, cfg,
+        init={"X": r1["m"], "P": r1["P"], "idx0": r1["idx0"],
+              "k_done": r1["k_done"]},
+    )
+    sl = np.s_[:, r1["idx0"]:]
+    np.testing.assert_allclose(r2["phase"][sl], one["phase"][sl], rtol=0, atol=0)
+    np.testing.assert_allclose(r2["std"][sl], one["std"][sl], rtol=0, atol=0)
+
+
+def test_retire_params_folds_step_into_constant():
+    """Param retirement (reference identify_outdated + remove_oldstuff,
+    kf/timefunction.py:559-664): an old STEP amplitude folds into the POLY
+    constant, the constant is fixed (zero variance/covariance), and the
+    model forecast past the event is unchanged."""
+    from kfts_insar_spark.functions.basis import basis_row
+    from kfts_insar_spark.operators.kalman import retire_params
+
+    cfg = KFConfig(model=MODEL, sig_y=1.0, sig_i=0.5, sig_a=30.0, t_sep=4)
+    _, y, _, _ = make_series(4)
+    res = kalman_direct_batch(y, T, cfg)
+    X, P = res["m"], res["P"]
+    newmodel, Xn, Pn = retire_params(X, P, MODEL, t_start=float(T[-1]), dtmax=0.5)
+    assert newmodel == [("POLY", 1), ("SIN", 2 * np.pi), ("COS", 2 * np.pi)]
+    assert Xn.shape[1] == X.shape[1] - 1
+    # constant absorbed the step amplitude: forecasts past the event match
+    t_eval = float(T[-1]) + 0.1
+    b_full = basis_row(MODEL, t_eval)          # STEP basis = 1 here
+    b_red = basis_row(newmodel, t_eval)
+    L_full, L_red = len(b_full), len(b_red)
+    f_full = X[:, :L_full] @ b_full
+    f_red = Xn[:, :L_red] @ b_red
+    np.testing.assert_allclose(f_red, f_full, rtol=1e-12)
+    # the constant is fixed
+    assert (Pn[:, 0, :] == 0).all() and (Pn[:, :, 0] == 0).all()
+    # no-op guards: young series keeps the model
+    same_model, _, _ = retire_params(X, P, MODEL, t_start=0.2, dtmax=0.5)
+    assert same_model == MODEL
