@@ -396,6 +396,99 @@ def eval_model_column(
     return expr
 
 
+def shift_t0_coeffs(model: Model, m: np.ndarray, t0: float) -> np.ndarray:
+    """Re-express model coefficients under a time-origin shift t0 =
+    t0_new − t0_old (reference ``shift_t0``, kf/timefunction.py:320-401).
+
+    Follows the reference's convention g(t + t0) == f(t): SIN/COS pairs of
+    equal frequency rotate by ω·t0 (their exact sign convention,
+    :354-366); STEP/HTAN/LISEG event times shift by +t0 (amplitudes
+    unchanged). POLY is re-expanded consistently with that convention
+    (g const = Σᵢ mᵢ·(−t0)ⁱ) — the reference's own constant-term line
+    subtracts m₀ twice (:343-345), which its tests never exercise; we keep
+    the self-consistent algebra instead. The rotation factors are computed
+    HERE (plan time), so Spark/DuckDB never call trig on data.
+    """
+    m = np.asarray(m, dtype=np.float64)
+    out = m.copy()
+    if t0 == 0.0:
+        return out
+    k = 0
+    sin_k, cos_k, freq = None, None, None
+    for mod in model:
+        kind = mod[0]
+        if kind == "POLY":
+            c0 = np.zeros(m.shape[:-1])
+            for i in range(mod[1] + 1):
+                c0 = c0 + m[..., k + i] * (-t0) ** i
+            out[..., k] = c0
+            k += mod[1] + 1
+        elif kind == "SIN":
+            sin_k, freq = k, mod[1]
+            k += 1
+        elif kind == "COS":
+            cos_k, freq = k, mod[1]
+            k += 1
+        elif kind in ("STEP", "HTAN", "LISEG"):
+            k += n_params([mod])  # amplitudes unchanged; times shift in model
+        else:
+            k += n_params([mod])
+    if (sin_k is None) != (cos_k is None):
+        raise ValueError("need SIN and COS together to shift the time axis")
+    if sin_k is not None:
+        c, s = math.cos(freq * t0), math.sin(freq * t0)
+        b, a = m[..., sin_k], m[..., cos_k]  # b = sin amp, a = cos amp
+        out[..., sin_k] = b * c + a * s  # reference :364-366
+        out[..., cos_k] = a * c - b * s
+    return out
+
+
+def shift_model_times(model: Model, t0: float) -> Model:
+    """The model-side half of shift_t0: event times move by +t0
+    (kf/timefunction.py:369-393)."""
+    out: Model = []
+    for mod in model:
+        kind = mod[0]
+        if kind == "STEP":
+            out.append(("STEP", *[t + t0 for t in mod[1:]]))
+        elif kind == "HTAN":
+            ts = [t + t0 for t in mod[1::2]]
+            ws = list(mod[2::2])
+            flat = [v for tw in zip(ts, ws) for v in tw]
+            out.append(("HTAN", *flat))
+        elif kind == "LISEG":
+            out.append(("LISEG", *[t + t0 for t in mod[1:]]))
+        elif kind in ("EXP", "LOG"):
+            out.append((kind, mod[1] + t0, mod[2]))
+        elif kind in ("BSPLINE", "ISPLINE"):
+            centers = [c + t0 for c in mod[2::2]]
+            ws = list(mod[3::2])
+            flat = [v for cw in zip(centers, ws) for v in cw]
+            out.append((kind, mod[1], *flat))
+        else:
+            out.append(mod)
+    return out
+
+
+def amp_phase_errprop(
+    b_sin: Column, a_cos: Column, var_sin: Column, var_cos: Column
+) -> dict[str, Column]:
+    """Oscillation amplitude & phase shift WITH first-order error
+    propagation (reference ``comp_phase_shift``, kf/timefunction.py:
+    667-745): amp = √(a²+b²), phase = atan2(a, b),
+    amp_var = (a²·σ²_cos + b²·σ²_sin)/(a²+b²),
+    phase_var = (a²·σ²_sin + b²·σ²_cos)/(a²+b²)²."""
+    a2 = a_cos * a_cos
+    b2 = b_sin * b_sin
+    r2 = a2 + b2
+    return {
+        "amp": F.sqrt(r2),
+        "phase": F.atan2(a_cos, b_sin),
+        "amp_var": (a2 * var_cos + b2 * var_sin) / r2,
+        "phase_var": (a2 * var_sin + b2 * var_cos) / (r2 * r2),
+    }
+
+
 def weighted_lsq(
     model: Model, t: np.ndarray, y: np.ndarray, err: np.ndarray | float
 ) -> tuple[np.ndarray, np.ndarray]:

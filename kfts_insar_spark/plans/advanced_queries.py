@@ -155,6 +155,121 @@ def q_model_eval_shift(spark, sf_dir):
     )
 
 
+TRIG_T0 = 0.75  # dyadic origin shift for the rotation query
+TRIG_FREQ = 6.283185307179586  # 2π (annual signal on decimal-year axis)
+
+
+def q_amp_phase_errprop(spark, sf_dir):
+    """Amplitude/phase-shift with first-order error propagation (F6,
+    reference comp_phase_shift kf/timefunction.py:667-745): per-doc dyadic
+    sin/cos amplitudes AND variances → amp, phase, amp_var, phase_var.
+    Rational arithmetic is identical cross-engine; sqrt/atan2 operate on
+    identical operands."""
+    from ..functions.basis import amp_phase_errprop
+
+    docs = spark.range(2000).select(F.col("id").alias("doc"))
+    h1 = ((F.col("doc") + 1) * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    h2 = (h1 * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    h3 = (h2 * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    a = (h1 % 496 + 16).cast("double") / F.lit(16.0)  # cos amp > 0
+    b = ((h2 % 1024) - 512).cast("double") / F.lit(16.0)  # sin amp
+    sa = (h3 % 256 + 16).cast("double") / F.lit(64.0)  # var(cos)
+    sb = ((h3 * 31) % 256 + 16).cast("double") / F.lit(64.0)  # var(sin)
+    d = docs.select("doc", a.alias("a"), b.alias("b"), sa.alias("sa"), sb.alias("sb"))
+    cols = amp_phase_errprop(F.col("b"), F.col("a"), F.col("sb"), F.col("sa"))
+    return d.select(
+        "doc",
+        cols["amp"].alias("amp"),
+        # atan2 is not correctly-rounded IEEE → 9 dp for cross-engine parity
+        F.round(cols["phase"], 9).alias("phase"),
+        cols["amp_var"].alias("amp_var"),
+        cols["phase_var"].alias("phase_var"),
+    )
+
+
+_AMP_PHASE_ERRPROP_SQL = f"""
+WITH d AS (
+  SELECT doc,
+         CAST(h1 % 496 + 16 AS DOUBLE) / 16.0 AS a,
+         CAST((h2 % 1024) - 512 AS DOUBLE) / 16.0 AS b,
+         CAST(h3 % 256 + 16 AS DOUBLE) / 64.0 AS sa,
+         CAST((h3 * 31) % 256 + 16 AS DOUBLE) / 64.0 AS sb
+  FROM (
+    SELECT doc, h1, h2, (h2 * {MINSTD_A}) % {MINSTD_M} AS h3
+    FROM (
+      SELECT doc, h1, (h1 * {MINSTD_A}) % {MINSTD_M} AS h2
+      FROM (SELECT i AS doc, ((i + 1) * {MINSTD_A}) % {MINSTD_M} AS h1
+            FROM range(0, 2000) t(i))
+    )
+  )
+)
+SELECT doc,
+       sqrt((a * a) + (b * b)) AS amp,
+       round(atan2(a, b), 9) AS phase,
+       ((a * a) * sa + (b * b) * sb) / ((a * a) + (b * b)) AS amp_var,
+       ((a * a) * sb + (b * b) * sa)
+         / (((a * a) + (b * b)) * ((a * a) + (b * b))) AS phase_var
+FROM d
+"""
+
+
+def q_trig_shift_rotation(spark, sf_dir):
+    """SIN/COS time-origin rotation (F7, reference shift_t0
+    kf/timefunction.py:320-401): per-doc dyadic coefficients rotated to a
+    new origin t0 — the trig factors cos(ω·t0)/sin(ω·t0) are plan-time
+    Python literals, identical in the DuckDB oracle, so the rotation
+    arithmetic is value-exact cross-engine. Invariance g(t+t0) == f(t) is
+    covered by pytest (floating-point trig on data is engine-specific)."""
+    import math
+
+    cf = math.cos(TRIG_FREQ * TRIG_T0)
+    sf = math.sin(TRIG_FREQ * TRIG_T0)
+    docs = spark.range(2000).select(F.col("id").alias("doc"))
+    h1 = ((F.col("doc") + 1) * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    h2 = (h1 * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    c0 = (h1 % 256).cast("double") / F.lit(16.0)
+    c1 = ((h1 % 128) - 64).cast("double") / F.lit(32.0)
+    b = ((h2 % 1024) - 512).cast("double") / F.lit(16.0)  # sin amp
+    a = (((h2 * 31) % 1024) - 512).cast("double") / F.lit(16.0)  # cos amp
+    d = docs.select(
+        "doc", c0.alias("c0"), c1.alias("c1"), b.alias("b"), a.alias("a")
+    )
+    return d.select(
+        "doc",
+        (F.col("c0") + F.col("c1") * F.lit(-TRIG_T0)).alias("c0_new"),
+        F.col("c1").alias("c1_new"),
+        (F.col("b") * F.lit(cf) + F.col("a") * F.lit(sf)).alias("sin_new"),
+        (F.col("a") * F.lit(cf) - F.col("b") * F.lit(sf)).alias("cos_new"),
+    )
+
+
+def _trig_shift_sql() -> str:
+    import math
+
+    cf = repr(math.cos(TRIG_FREQ * TRIG_T0))
+    sf = repr(math.sin(TRIG_FREQ * TRIG_T0))
+    return f"""
+WITH d AS (
+  SELECT doc,
+         CAST(h1 % 256 AS DOUBLE) / 16.0 AS c0,
+         CAST((h1 % 128) - 64 AS DOUBLE) / 32.0 AS c1,
+         CAST((h2 % 1024) - 512 AS DOUBLE) / 16.0 AS b,
+         CAST(((h2 * 31) % 1024) - 512 AS DOUBLE) / 16.0 AS a
+  FROM (
+    SELECT doc, h1, (h1 * {MINSTD_A}) % {MINSTD_M} AS h2
+    FROM (SELECT i AS doc, ((i + 1) * {MINSTD_A}) % {MINSTD_M} AS h1
+          FROM range(0, 2000) t(i))
+  )
+)
+SELECT doc,
+       c0 + c1 * {-TRIG_T0!r} AS c0_new,
+       c1 AS c1_new,
+       b * {cf} + a * {sf} AS sin_new,
+       a * {cf} - b * {sf} AS cos_new
+FROM d
+"""
+
+
 # Full-DSL spline model on a dyadic grid: every basis element the reference
 # supports (kf/timefunction.py:36-49), exact cross-engine (POLY/STEP/LISEG/
 # B-/I-splines are piecewise polynomials of dyadic rationals; the spline
@@ -322,6 +437,8 @@ QUERIES = {
     "close_events_dedup": q_close_events_dedup,
     "model_eval_shift": q_model_eval_shift,
     "model_basis_spline": q_model_basis_spline,
+    "amp_phase_errprop": q_amp_phase_errprop,
+    "trig_shift_rotation": q_trig_shift_rotation,
     "pivot_user_event_types": q_pivot_user_event_types,
     "cube_pricing": q_cube_pricing,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
@@ -388,6 +505,8 @@ SELECT doc, t,
 FROM docs CROSS JOIN grid
 """,
     "model_basis_spline": _spline_oracle_sql(),
+    "amp_phase_errprop": _AMP_PHASE_ERRPROP_SQL,
+    "trig_shift_rotation": _trig_shift_sql(),
     "pivot_user_event_types": """
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -154,3 +154,25 @@ def test_golden_model_recovers_m_r_through_spark_kernel(spark):
     assert abs(got[3] - expect[3]) < 1.0  # cos amp 4
     assert abs(got[4] - expect[4]) < 15.0  # ispline amp 150
     assert abs(got[5] - expect[5]) < 15.0  # step amp 100
+
+
+def test_shift_t0_invariance():
+    """Origin shift (reference shift_t0, kf/timefunction.py:320-401, its
+    sign convention g(t+t0)==f(t)): rotated coefficients + shifted event
+    times reproduce the original model values everywhere."""
+    from kfts_insar_spark.functions.basis import (
+        shift_model_times,
+        shift_t0_coeffs,
+    )
+
+    model = [("POLY", 1), ("SIN", FREQ), ("COS", FREQ), ("STEP", 500.0)]
+    rng = np.random.default_rng(3)
+    m = rng.normal(0, 5, (8, 5))
+    t0 = 37.5
+    m2 = shift_t0_coeffs(model, m, t0)
+    model2 = shift_model_times(model, t0)
+    f = m @ basis_matrix(model, T_DAYS).T
+    g = m2 @ basis_matrix(model2, T_DAYS + t0).T
+    np.testing.assert_allclose(g, f, rtol=1e-10, atol=1e-10)
+    # t0 = 0 is the identity
+    np.testing.assert_array_equal(shift_t0_coeffs(model, m, 0.0), m)
