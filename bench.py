@@ -69,13 +69,31 @@ def main() -> None:
         },
     )
     # steady-state warmup: JIT, codegen and the Python worker pool — we are
-    # benchmarking the engine, not JVM cold start
+    # benchmarking the engine, not JVM cold start. Covers the parquet
+    # write/read, shuffle, and dynamic-partition-commit paths the tier jobs
+    # exercise (cold, these add ~4 s of one-time JVM JIT to the first job).
     spark.range(5_000_000).selectExpr("sum(id)").collect()
     import pandas as _pd
 
     spark.range(10000).mapInPandas(
         lambda it: (pdf.assign(x=1.0) for pdf in it), schema="id long, x double"
     ).count()
+    import shutil as _sh
+    import tempfile as _tmp
+
+    _wtd = _tmp.mkdtemp(prefix="bench_warm_")
+    _wdf = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.date_format(
+            F.timestamp_seconds(F.col("id") * 300 + 1767225600), "yyyy-MM-dd"
+        ).alias("pday"),
+    )
+    _wdf.groupBy("k", "pday").count().repartition(2).write.partitionBy(
+        "pday"
+    ).mode("overwrite").parquet(_wtd + "/w")
+    spark.read.parquet(_wtd + "/w").filter(F.input_file_name() != "").count()
+    _sh.rmtree(_wtd, ignore_errors=True)
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 

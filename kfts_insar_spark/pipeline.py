@@ -130,11 +130,12 @@ class TierPipeline:
         )
 
         # ---- series tier for the KF stage (own watermark window, so a
-        # crash between the raw and series commits heals from `seq`)
-        self._ingest_series(spark, seq, new_wm)
+        # crash between the raw and series commits heals from `seq`);
+        # only needed when the KF stage runs
+        if self.run_gapfill:
+            self._ingest_series(spark, seq, new_wm)
 
-        raw_now = self.raw.read(spark)
-        drows, dsids = self._derive_tiers(spark, raw_now, days, new_wm)
+        drows, dsids = self._derive_tiers(spark, days, new_wm)
 
         result = {
             "status": "ok",
@@ -176,44 +177,68 @@ class TierPipeline:
         )
 
     def _derive_tiers(
-        self, spark: SparkSession, raw_now: DataFrame, days: list, wm: int
+        self, spark: SparkSession, days: list, wm: int
     ) -> tuple[dict, dict]:
         """Recompute the 1h/1d/compressed tiers for the affected ``days``
-        from the committed raw tier and overwrite those partitions."""
-        # ---- 1h: recompute affected days from committed raw, overwrite
-        h_inc = rollup_cascade(
-            raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
-            HOUR_SECONDS,
-        ).withColumn("pday", _pday())
-        sid_h = self.h1.overwrite_partitions(
-            h_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
-        )
-        n_h = self.h1.last_commit_rows()
-        self.log.record("tier_1h", sid_h, wm, self.h1.manifest()["files"], n_h)
+        from the committed raw tier and overwrite those partitions.
+        Affected-day reads use manifest-level FILE pruning (``where=``) —
+        no full-tier scan, no per-day plan nodes."""
+        from concurrent.futures import ThreadPoolExecutor
 
-        # ---- 1d: recompute affected days from committed 1h, overwrite
-        h_now = self.h1.read(spark)
-        d_inc = rollup_cascade(
-            h_now.filter(F.col("pday").isin(days)).select(*TIER_COLS),
-            DAY_SECONDS,
-        ).withColumn("pday", _pday())
-        sid_d = self.d1.overwrite_partitions(
-            d_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
-        )
-        n_d = self.d1.last_commit_rows()
-        self.log.record("tier_1d", sid_d, wm, self.d1.manifest()["files"], n_d)
+        dayset = set(days)
+        in_days = lambda p: p.get("pday") in dayset  # noqa: E731
+        # one pruned scan of the affected raw days, shared by the 1h and
+        # compressed stages (and transitively the 1d stage via h_inc)
+        raw_days = self.raw.read(spark, where=in_days).select(*TIER_COLS).persist()
 
-        # ---- compressed raw chunks for affected days (Gorilla)
-        c_inc = compress_tier(
-            raw_now.filter(F.col("pday").isin(days)).select(*TIER_COLS)
-        ).withColumn("pday", _pday())
-        sid_c = self.comp.overwrite_partitions(
-            c_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
-        )
-        n_c = self.comp.last_commit_rows()
-        self.log.record(
-            "tier_compressed", sid_c, wm, self.comp.manifest()["files"], n_c
-        )
+        def run_1h_1d():
+            # ---- 1h: recompute affected days from committed raw, overwrite
+            h_inc = rollup_cascade(raw_days, HOUR_SECONDS).withColumn(
+                "pday", _pday()
+            ).persist()
+            try:
+                sid_h = self.h1.overwrite_partitions(
+                    h_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
+                )
+                n_h = self.h1.last_commit_rows()
+                files_h = self.h1.manifest()["files"]
+                # ---- 1d: cascade from the SAME recomputed 1h increment (it
+                # is exactly the affected days' 1h content — no re-read)
+                d_inc = rollup_cascade(
+                    h_inc.select(*TIER_COLS), DAY_SECONDS
+                ).withColumn("pday", _pday())
+                sid_d = self.d1.overwrite_partitions(
+                    d_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
+                )
+                n_d = self.d1.last_commit_rows()
+                files_d = self.d1.manifest()["files"]
+            finally:
+                h_inc.unpersist()
+            return sid_h, n_h, files_h, sid_d, n_d, files_d
+
+        def run_compressed():
+            # ---- compressed raw chunks for affected days (Gorilla)
+            c_inc = compress_tier(raw_days).withColumn("pday", _pday())
+            sid_c = self.comp.overwrite_partitions(
+                c_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
+            )
+            return sid_c, self.comp.last_commit_rows(), self.comp.manifest()["files"]
+
+        try:
+            # the 1h→1d chain and the compressed tier are independent given
+            # the committed raw tier — run them as concurrent Spark jobs
+            # (different tables, no shared commit state); the per-stage plan
+            # compile + commit fixed costs overlap instead of serializing
+            with ThreadPoolExecutor(2) as ex:
+                f_hd = ex.submit(run_1h_1d)
+                f_c = ex.submit(run_compressed)
+                sid_h, n_h, files_h, sid_d, n_d, files_d = f_hd.result()
+                sid_c, n_c, files_c = f_c.result()
+        finally:
+            raw_days.unpersist()
+        self.log.record("tier_1h", sid_h, wm, files_h, n_h)
+        self.log.record("tier_1d", sid_d, wm, files_d, n_d)
+        self.log.record("tier_compressed", sid_c, wm, files_c, n_c)
         return (
             {"1h": n_h, "1d": n_d, "compressed": n_c},
             {"1h": sid_h, "1d": sid_d, "compressed": sid_c},
@@ -250,10 +275,11 @@ class TierPipeline:
                 min(int(t.property("watermark_es", -1)) for t in lagging)
             )
             if days:
-                self._derive_tiers(spark, self.raw.read(spark), days, wm_raw)
-        self._ingest_series(spark, seq, wm_raw)
-        if self.run_gapfill and int(self.kf_state.property("watermark_es", -1)) < wm_raw:
-            self._run_gapfill(spark, wm_raw)
+                self._derive_tiers(spark, days, wm_raw)
+        if self.run_gapfill:
+            self._ingest_series(spark, seq, wm_raw)
+            if int(self.kf_state.property("watermark_es", -1)) < wm_raw:
+                self._run_gapfill(spark, wm_raw)
 
     def _run_gapfill(self, spark: SparkSession, wm: int) -> dict:
         """Gap-fill the (source, shard) sub-series with the Kalman kernel.

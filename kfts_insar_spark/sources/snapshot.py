@@ -84,7 +84,11 @@ class SnapshotTable:
         overhead at bench scale)."""
         out_dir = os.path.join(self.path, "data", str(sid), uuid.uuid4().hex[:8])
         if coalesce:
-            df = df.coalesce(coalesce)
+            # repartition, not coalesce: coalesce would merge the upstream
+            # (post-shuffle) stage down to `coalesce` tasks, serializing the
+            # aggregation that produces the tier; a round-robin exchange of
+            # the tiny aggregate keeps the producer parallel
+            df = df.repartition(coalesce)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -246,29 +250,33 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- reads
     def read(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where=None,
     ) -> DataFrame | None:
+        """Read a snapshot as ONE parquet scan. ``where`` (a callable on
+        the per-file partition dict) prunes FILES from the manifest before
+        the scan — metadata-only partition pruning, the Iceberg equivalent.
+
+        Partition columns live in directory names; they are recovered from
+        the file path with ``input_file_name()`` inside the single scan —
+        a union of per-partition reads (the previous form) costs O(#days)
+        plan nodes and thousands of no-op tasks at bench scale."""
         m = self.manifest(snapshot_id)
         if m is None:
             return None
-        files = [e["path"] for e in m["files"]]
-        if not files:
+        entries = m["files"]
+        if where is not None:
+            entries = [e for e in entries if where(e["partition"])]
+        if not entries:
             return None
-        # partition columns live in directory names → recover them per file
-        # group by partition tuple and union (partition sets are small: the
-        # tier tables partition by (source) or (source, day))
-        from functools import reduce
-
         from pyspark.sql import functions as F
 
-        groups: dict[tuple, list[str]] = {}
-        for e in m["files"]:
-            key = tuple(sorted(e["partition"].items()))
-            groups.setdefault(key, []).append(e["path"])
-        dfs = []
-        for key, paths in groups.items():
-            d = spark.read.parquet(*paths)
-            for k, v in key:
-                d = d.withColumn(k, F.lit(v))
-            dfs.append(d)
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        keys = sorted({k for e in entries for k in e["partition"]})
+        df = spark.read.parquet(*[e["path"] for e in entries])
+        for k in keys:
+            df = df.withColumn(
+                k, F.regexp_extract(F.input_file_name(), f"{k}=([^/]+)", 1)
+            )
+        return df
