@@ -109,6 +109,7 @@ def kalman_direct_batch(
     t: np.ndarray,
     cfg: KFConfig,
     init: dict | None = None,
+    p0_diag: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
     """Run the bounded-state KF over a (B, M) batch of series with NaN gaps.
 
@@ -118,6 +119,12 @@ def kalman_direct_batch(
     previous run and are not re-emitted; steps idx0..k_done−1 (the overlap
     still in state, reference ``tshift`` kf/readinput.py:539-541) are
     re-emitted with their refined values.
+
+    ``p0_diag`` (B, L) overrides the a-priori parameter variances PER DOC —
+    the earthquake-prior patch (reference ``earthquakeIntegration``,
+    kfts.py:172-220: a thresholded Gaussian of the event amplitude around
+    the epicentre; zero variance pins the param — "not optimized"). Applies
+    at fresh init and to lazily-grown params.
 
     Returns dict with phase (B,M), std (B,M), innov (B,M), gap (B,M bool),
     m (B, n) final state, P (B, n, n) final covariance, idx0, k_done.
@@ -160,7 +167,11 @@ def kalman_direct_batch(
         n = L_live + 1
         X = np.zeros((B, n))
         P = np.zeros((B, n, n))
-        P[:, np.arange(L_live), np.arange(L_live)] = cfg.sig_a**2
+        dl = np.arange(L_live)
+        if p0_diag is not None:
+            P[:, dl, dl] = np.asarray(p0_diag, dtype=np.float64)[:, live]
+        else:
+            P[:, dl, dl] = cfg.sig_a**2
         # observation at step 0 defines the datum: phase_0 ≡ 0 exactly
         phase[:, 0] = 0.0
         std[:, 0] = 0.0
@@ -210,7 +221,11 @@ def kalman_direct_batch(
                 t3[:] = P[:, : n + 1, pos:n]
                 P[:, : n + 1, pos + 1 : n + 1] = t3
                 P[:, : n + 1, pos] = 0.0
-                P[:, pos, pos] = cfg.grow_var
+                P[:, pos, pos] = (
+                    np.asarray(p0_diag, dtype=np.float64)[:, j]
+                    if p0_diag is not None
+                    else cfg.grow_var
+                )
                 live[j] = True
                 L_live += 1
                 n += 1
@@ -306,7 +321,10 @@ def kalman_direct_batch(
 # the blocked batch kernel above. Test-only; never in the hot path.
 # --------------------------------------------------------------------------
 def kalman_direct_oracle(
-    y: np.ndarray, t: np.ndarray, cfg: KFConfig
+    y: np.ndarray,
+    t: np.ndarray,
+    cfg: KFConfig,
+    p0_diag: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
     y = np.asarray(y, dtype=np.float64)
     M = len(y)
@@ -326,7 +344,10 @@ def kalman_direct_oracle(
     L_live = int(live.sum())
 
     m = np.zeros(L_live + 1)  # live params + phase0 (pinned 0)
-    P = np.diag([cfg.sig_a**2] * L_live + [0.0])
+    if p0_diag is not None:
+        P = np.diag(list(np.asarray(p0_diag, dtype=np.float64)[live]) + [0.0])
+    else:
+        P = np.diag([cfg.sig_a**2] * L_live + [0.0])
     idx0 = 0
     phase[0], std[0] = 0.0, 0.0
     L_trace = np.full(M, -1, dtype=np.int32)
@@ -337,7 +358,9 @@ def kalman_direct_oracle(
                 pos = int(live[:j].sum())
                 m = np.insert(m, pos, 0.0)
                 P = np.insert(np.insert(P, pos, 0.0, axis=0), pos, 0.0, axis=1)
-                P[pos, pos] = cfg.grow_var
+                P[pos, pos] = (
+                    float(p0_diag[j]) if p0_diag is not None else cfg.grow_var
+                )
                 live[j] = True
                 L_live += 1
         n = len(m)
@@ -383,6 +406,42 @@ def kalman_direct_oracle(
         "P": P,
         "L_trace": L_trace,
     }
+
+
+def earthquake_prior_columns(
+    model: Model, x, y, events: list[dict], sig_a: float
+):
+    """Per-doc a-priori variance array feeding the kernel's ``p0_diag`` —
+    the earthquake-prior patch of P0 (reference ``earthquakeIntegration``,
+    kfts.py:172-220 + kf/utils/earthquake2step.py:196-204).
+
+    Base params keep sig_a²; each STEP event param gets the thresholded
+    Gaussian amp²·exp(−((x0−x)² + (y0−y)²)/(2·width²)) around its
+    epicentre, with values < 1 set to 0 ("parameter not optimized" for
+    far docs — a zero prior pins the amplitude at 0). ``events`` is a list
+    of {"x","y","amp","width"} dicts parallel to the model's STEP times in
+    order. Pure Column expressions over the doc coordinates (x, y) —
+    the tiny event table is plan-time metadata, the J4 broadcast shape.
+    """
+    cols = []
+    ev = iter(events)
+    for mod in model:
+        kind = mod[0]
+        if kind == "STEP":
+            for _t0 in mod[1:]:
+                e = next(ev)
+                d2 = (F.lit(float(e["x"])) - x) * (F.lit(float(e["x"])) - x) + (
+                    F.lit(float(e["y"])) - y
+                ) * (F.lit(float(e["y"])) - y)
+                g = F.lit(float(e["amp"]) ** 2) * F.exp(
+                    -d2 / F.lit(2.0 * float(e["width"]) ** 2)
+                )
+                cols.append(F.when(g < 1.0, F.lit(0.0)).otherwise(g))
+        else:
+            cols.extend(
+                F.lit(float(sig_a) ** 2) for _ in range(n_params([mod]))
+            )
+    return F.array(*cols)
 
 
 def retire_params(
@@ -852,19 +911,25 @@ def kalman_gapfill_combined(
     twice per run (once for output, once with emit_state=True), doubling its
     most expensive stage.
 
-    Input: (doc_id, values array<double>[, k_done, idx0, m, P]). Rows whose
-    state columns are NULL (or absent) cold-start from the grid origin; rows
-    with state resume, stratified by (k_done, idx0, state width) exactly
-    like :func:`kalman_resume`. No shuffle beyond whatever join produced the
-    input — mapInPandas over doc-wide rows.
+    Input: (doc_id, values array<double>[, k_done, idx0, m, P][, p0]). Rows
+    whose state columns are NULL (or absent) cold-start from the grid
+    origin — honouring an optional per-doc ``p0`` prior-variance array (the
+    earthquake patch); rows with state resume, stratified by (k_done, idx0,
+    state width) exactly like :func:`kalman_resume`. No shuffle beyond
+    whatever join produced the input — mapInPandas over doc-wide rows.
     """
     cfg = cfg or KFConfig()
     t_grid = np.asarray(t_grid, dtype=np.float64)
     M = len(t_grid)
     has_state = "k_done" in series_wide.columns
 
-    def emit(docs: np.ndarray, values: np.ndarray, init: dict | None) -> pd.DataFrame:
-        res = kalman_direct_batch(values, t_grid, cfg, init=init)
+    def emit(
+        docs: np.ndarray,
+        values: np.ndarray,
+        init: dict | None,
+        p0: np.ndarray | None = None,
+    ) -> pd.DataFrame:
+        res = kalman_direct_batch(values, t_grid, cfg, init=init, p0_diag=p0)
         B = len(docs)
         return pd.DataFrame(
             {
@@ -892,7 +957,12 @@ def kalman_gapfill_combined(
         outs: list[pd.DataFrame] = []
         if (~notna).any():
             sel = np.flatnonzero(~notna)
-            outs.append(emit(docs_all[sel], values_all[sel], None))
+            p0 = None
+            if "p0" in whole.columns:
+                p0v = whole["p0"].to_numpy()[sel]
+                if all(v is not None for v in p0v):
+                    p0 = np.vstack(p0v)
+            outs.append(emit(docs_all[sel], values_all[sel], None, p0))
         if notna.any():
             st = whole[notna]
             strata = st.groupby(

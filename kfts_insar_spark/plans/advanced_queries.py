@@ -213,6 +213,71 @@ FROM d
 """
 
 
+EQ_EVENTS = [
+    {"x": 8.0, "y": 8.0, "amp": 12.0, "width": 2.0},
+    {"x": 2.0, "y": 14.0, "amp": 20.0, "width": 4.0},
+]
+EQ_MODEL = [("POLY", 1), ("STEP", 1.0, 2.0)]
+
+
+def q_earthquake_p0_patch(spark, sf_dir):
+    """Per-doc earthquake prior P0 patch (reference earthquakeIntegration,
+    kfts.py:172-220): the thresholded Gaussian of the event amplitude around
+    each epicentre, per doc coordinate — the array that overrides the
+    kernel's a-priori variances. Dyadic coordinates; exp() rounded to 9 dp
+    for cross-engine parity."""
+    from ..operators.kalman import earthquake_prior_columns
+
+    docs = spark.range(2000).select(F.col("id").alias("doc"))
+    h1 = ((F.col("doc") + 1) * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    h2 = (h1 * F.lit(MINSTD_A)) % F.lit(MINSTD_M)
+    x = (h1 % 64).cast("double") / F.lit(4.0)
+    y = (h2 % 64).cast("double") / F.lit(4.0)
+    d = docs.select("doc", x.alias("x"), y.alias("y"))
+    p0 = earthquake_prior_columns(
+        EQ_MODEL, F.col("x"), F.col("y"), EQ_EVENTS, sig_a=30.0
+    )
+    return d.select(
+        "doc",
+        "x",
+        "y",
+        F.element_at(p0, 1).alias("p0_c0"),
+        F.element_at(p0, 2).alias("p0_c1"),
+        # exp() is not correctly-rounded IEEE; a 1-ULP cross-engine diff
+        # can straddle any rounding boundary — 4 dp makes that ~4e-11/value
+        F.round(F.element_at(p0, 3), 4).alias("p0_eq1"),
+        F.round(F.element_at(p0, 4), 4).alias("p0_eq2"),
+    )
+
+
+def _eq_p0_sql() -> str:
+    def gauss(e):
+        return (
+            f"{e['amp'] ** 2!r} * exp(-((({e['x']!r} - x) * ({e['x']!r} - x)"
+            f" + ({e['y']!r} - y) * ({e['y']!r} - y)) / {2.0 * e['width'] ** 2!r}))"
+        )
+
+    g1, g2 = gauss(EQ_EVENTS[0]), gauss(EQ_EVENTS[1])
+    return f"""
+WITH d AS (
+  SELECT doc,
+         CAST(h1 % 64 AS DOUBLE) / 4.0 AS x,
+         CAST(h2 % 64 AS DOUBLE) / 4.0 AS y
+  FROM (
+    SELECT doc, h1, (h1 * {MINSTD_A}) % {MINSTD_M} AS h2
+    FROM (SELECT i AS doc, ((i + 1) * {MINSTD_A}) % {MINSTD_M} AS h1
+          FROM range(0, 2000) t(i))
+  )
+)
+SELECT doc, x, y,
+       900.0 AS p0_c0,
+       900.0 AS p0_c1,
+       round(CASE WHEN {g1} < 1.0 THEN 0.0 ELSE {g1} END, 4) AS p0_eq1,
+       round(CASE WHEN {g2} < 1.0 THEN 0.0 ELSE {g2} END, 4) AS p0_eq2
+FROM d
+"""
+
+
 def q_trig_shift_rotation(spark, sf_dir):
     """SIN/COS time-origin rotation (F7, reference shift_t0
     kf/timefunction.py:320-401): per-doc dyadic coefficients rotated to a
@@ -439,6 +504,7 @@ QUERIES = {
     "model_basis_spline": q_model_basis_spline,
     "amp_phase_errprop": q_amp_phase_errprop,
     "trig_shift_rotation": q_trig_shift_rotation,
+    "earthquake_p0_patch": q_earthquake_p0_patch,
     "pivot_user_event_types": q_pivot_user_event_types,
     "cube_pricing": q_cube_pricing,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
@@ -507,6 +573,7 @@ FROM docs CROSS JOIN grid
     "model_basis_spline": _spline_oracle_sql(),
     "amp_phase_errprop": _AMP_PHASE_ERRPROP_SQL,
     "trig_shift_rotation": _trig_shift_sql(),
+    "earthquake_p0_patch": _eq_p0_sql(),
     "pivot_user_event_types": """
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

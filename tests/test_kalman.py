@@ -407,3 +407,24 @@ def test_retire_params_folds_step_into_constant():
     # no-op guards: young series keeps the model
     same_model, _, _ = retire_params(X, P, MODEL, t_start=0.2, dtmax=0.5)
     assert same_model == MODEL
+
+
+def test_earthquake_prior_p0_pins_far_docs():
+    """Per-doc P0 patch (reference earthquakeIntegration kfts.py:172-220):
+    a zero a-priori variance on the STEP param pins its amplitude at 0
+    ("not optimized"); a large prior lets the filter recover it. Batch
+    kernel honours p0_diag per doc and matches the dense oracle."""
+    truth, y, params, _ = make_series(4)
+    L = CFG.L  # POLY(1)+SIN+COS+STEP = 5
+    # doc 0/1 near the epicentre (large prior), doc 2/3 far (zero prior)
+    p0 = np.tile([CFG.sig_a**2] * 4 + [900.0], (4, 1))
+    p0[2:, 4] = 0.0
+    res = kalman_direct_batch(y, T, CFG, p0_diag=p0)
+    # near docs recover their step amplitude; far docs stay pinned at 0
+    np.testing.assert_allclose(res["m"][:2, 4], params[:2, 4], atol=2.5)
+    np.testing.assert_array_equal(res["m"][2:, 4], 0.0)
+    # matches the dense oracle with the same per-doc prior
+    for b in (0, 3):
+        ora = kalman_direct_oracle(y[b], T, CFG, p0_diag=p0[b])
+        np.testing.assert_allclose(res["phase"][b], ora["phase"], rtol=1e-8)
+        np.testing.assert_allclose(res["m"][b], ora["m"], rtol=1e-7, atol=1e-9)

@@ -22,3 +22,72 @@ def test_baselines_from_text(spark, tmp_path):
     got = baselines_from_text(spark, str(f)).toPandas().sort_values("date")
     assert len(got) == 3
     np.testing.assert_allclose(got["baseline"].to_numpy(), [0.0, -35.25, 110.0])
+
+
+def test_flat_raster_interleaves(spark, tmp_path):
+    """BIL/BSQ/BIP stride decode equals the numpy ground truth for every
+    interleave and channel (reference load_mmap, kf/utils/tsio.py:18-98)."""
+    import numpy as np
+
+    from kfts_insar_spark.sources.dirlist import read_flat_raster
+
+    ny, nx, nch = 5, 7, 3
+    rng = np.random.default_rng(11)
+    cube = rng.normal(0, 10, (nch, ny, nx)).astype(np.float32)  # [band,y,x]
+
+    d = tmp_path / "rasters"
+    d.mkdir()
+    # write the SAME cube in the three layouts
+    (d / "a.bsq").write_bytes(cube.tobytes())
+    (d / "a.bil").write_bytes(np.transpose(cube, (1, 0, 2)).tobytes())
+    (d / "a.bip").write_bytes(np.transpose(cube, (1, 2, 0)).tobytes())
+
+    for fmt, fname in (("BSQ", "a.bsq"), ("BIL", "a.bil"), ("BIP", "a.bip")):
+        for channel in (1, 3):
+            out = (
+                read_flat_raster(
+                    spark, str(d), nx, ny, interleave=fmt,
+                    nchannels=nch, channel=channel, glob=fname,
+                )
+                .toPandas()
+                .sort_values("y")
+            )
+            got = np.vstack(out["values"].to_numpy())
+            np.testing.assert_allclose(
+                got, cube[channel - 1].astype(np.float64), rtol=0, atol=0
+            )
+
+    # big-endian round trip
+    (d / "b.bsq").write_bytes(cube.astype(">f4").tobytes())
+    out = (
+        read_flat_raster(
+            spark, str(d), nx, ny, interleave="BSQ", nchannels=nch,
+            channel=2, big_endian=True, glob="b.bsq",
+        )
+        .toPandas()
+        .sort_values("y")
+    )
+    np.testing.assert_allclose(
+        np.vstack(out["values"].to_numpy()), cube[1].astype(np.float64)
+    )
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """Text sink/source (SURVEY §2.1 S10): tier rows written as CSV with
+    header read back value-identical (the reference's np.savetxt outputs,
+    kf2rms.py / prepare_input.py text artifacts)."""
+    from kfts_insar_spark.operators.rollup import rollup_raw
+    from kfts_insar_spark.synth import sequences
+
+    raw = rollup_raw(sequences(spark, 1000))
+    out = str(tmp_path / "csv")
+    raw.write.option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("source string, bucket_es long, n_docs long, sum_tok long, "
+                "min_tok int, max_tok int")
+        .csv(out)
+    )
+    a = sorted(tuple(r) for r in raw.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b and len(a) > 0
