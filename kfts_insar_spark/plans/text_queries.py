@@ -402,6 +402,45 @@ def q_emb_lsh_topk(spark, sf_dir):
     )
 
 
+EMB_NEARDUP_TAU = 0.3
+
+
+def q_emb_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the dedup mode over the
+    embedding column: candidates restricted to the same sign-LSH bucket
+    (the pruning step that avoids the 10^24 all-pairs join at 10^12
+    vectors), then EXACT quantized cosine ≥ τ verification. Integer dots +
+    one sqrt → value-exact cross-engine."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    b = q_emb_lsh_buckets(spark, sf_dir)
+    eb = e.join(b, "vec_id")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q_: p * q_),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n = eb.select("vec_id", "q", "bucket", dot(F.col("q"), F.col("q")).alias("n2"))
+    a, c = n.alias("a"), n.alias("b")
+    j = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = dot(F.col("a.q"), F.col("b.q")).cast("double") / F.sqrt(
+        (F.col("a.n2") * F.col("b.n2")).cast("double")
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(EMB_NEARDUP_TAU))
+    )
+
+
 QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_quality_score": q_doc_quality_score,
@@ -413,6 +452,7 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "emb_topk_cosine": q_emb_topk_cosine,
     "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_cosine_neardup": q_emb_cosine_neardup,
 }
 
 _W = _WORDS_SQL.format(c="text")
@@ -554,6 +594,37 @@ SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
                             ORDER BY cos DESC, neighbor_id ASC) AS rk
   FROM pairs
 ) WHERE rk <= 5
+""",
+    "emb_cosine_neardup": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST((
+  {" + ".join(
+      f'''(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(0, 64),
+              d -> qv[d+1] * (((CAST({(p * 64 + 1) * 2654435761} AS BIGINT) + d * 40503)
+                               % 2147483647) % 3 - 1))),
+            (acc, v) -> acc + v) > 0 THEN {1 << p} ELSE 0 END)'''
+      for p in range(8)
+  )}
+         ) AS INT) AS bucket,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (acc, v) -> acc + v) AS n2
+  FROM q
+)
+SELECT * FROM (
+  SELECT aa.vec_id AS vec_a, bb.vec_id AS vec_b,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 65), i -> aa.qv[i] * bb.qv[i])),
+              (acc, v) -> acc + v) AS DOUBLE)
+           / sqrt(CAST(aa.n2 * bb.n2 AS DOUBLE)) AS cos
+  FROM n aa JOIN n bb ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+) WHERE cos >= {EMB_NEARDUP_TAU}
 """,
     "emb_lsh_buckets": f"""
 WITH q AS (
