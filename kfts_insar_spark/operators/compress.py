@@ -15,8 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.codec import (
-    decode_timestamps,
-    decode_values,
+    decode_timestamps_lockstep,
+    decode_values_lockstep,
     encode_timestamps_chunked,
     encode_values_chunked,
 )
@@ -82,21 +82,33 @@ def compress_tier(
 
 
 def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
-    """Inverse of :func:`compress_tier` (verification path)."""
+    """Inverse of :func:`compress_tier` (verification / time-travel reads).
+
+    Decodes ALL chunks in the Arrow batch in LOCKSTEP (vectorized gathers
+    into one shared bit matrix) instead of a per-chunk per-bit Python
+    reader — variable-length codes are sequential within a stream but
+    thousands of streams advance together."""
     schema = f"source string, bucket_es long, {value_name} double"
 
     def unpack(it):
         for pdf in it:
-            frames = []
-            for r in pdf.itertuples(index=False):
-                ts = decode_timestamps(bytes(r.ts_codec), r.n_points)
-                vs = decode_values(bytes(r.val_codec), r.n_points)
-                frames.append(
-                    pd.DataFrame(
-                        {"source": r.source, "bucket_es": ts, value_name: vs}
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            ns = pdf["n_points"].to_numpy(np.int64)
+            ts_mat = decode_timestamps_lockstep(
+                [bytes(b) for b in pdf["ts_codec"]], ns
+            )
+            v_mat = decode_values_lockstep(
+                [bytes(b) for b in pdf["val_codec"]], ns
+            )
+            mask = np.arange(ts_mat.shape[1])[None, :] < ns[:, None]
+            ridx, cidx = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"].to_numpy()[ridx],
+                    "bucket_es": ts_mat[ridx, cidx],
+                    value_name: v_mat[ridx, cidx],
+                }
+            )
 
     return comp.mapInPandas(unpack, schema=schema)

@@ -135,3 +135,51 @@ def test_chunked_encoders_match_single(spark=None):
         assert np.array_equal(decode_timestamps(tcs[c], size), t_chunk), c
         got = decode_values(vcs[c], size)
         assert np.array_equal(got.view(np.uint64), v_chunk.view(np.uint64)), c
+
+
+def test_lockstep_decoders_match_scalar():
+    """Lockstep (vectorized-across-streams) decode == the per-bit scalar
+    reference decoders, over streams exercising every control bucket and
+    ragged lengths including n=0,1,2."""
+    import numpy as np
+
+    from kfts_insar_spark.functions.codec import (
+        decode_timestamps,
+        decode_timestamps_lockstep,
+        decode_values,
+        decode_values_lockstep,
+        encode_timestamps,
+        encode_values,
+    )
+
+    rng = np.random.default_rng(5)
+    ts_streams, val_streams = [], []
+    # dod magnitudes hitting all five buckets (0 / ±64 / ±256 / ±2048 / big)
+    for n in (1, 2, 3, 7, 50, 288):
+        base = rng.integers(-(2**40), 2**40)
+        deltas = rng.choice(
+            [0, 1, -63, 64, -255, 256, -2047, 2048, 10**7, -(10**9)],
+            size=max(n - 1, 0),
+        )
+        ts = base + np.concatenate([[0], np.cumsum(deltas)]).astype(np.int64)[:n]
+        vals = rng.normal(0, 1e3, n)
+        vals[rng.random(n) < 0.3] = 0.0  # runs of identical xors
+        if n > 2:
+            vals[2] = vals[1]  # exact repeat → '0' control
+        ts_streams.append((encode_timestamps(ts), ts))
+        val_streams.append((encode_values(vals), vals))
+
+    ns = np.array([len(t) for _, t in ts_streams])
+    tmat = decode_timestamps_lockstep([d for d, _ in ts_streams], ns)
+    vmat = decode_values_lockstep([d for d, _ in val_streams], ns)
+    for i, ((_, ts), (_, vals)) in enumerate(zip(ts_streams, val_streams)):
+        n = len(ts)
+        np.testing.assert_array_equal(tmat[i, :n], ts)
+        np.testing.assert_array_equal(
+            vmat[i, :n].view(np.uint64), vals.view(np.uint64)
+        )
+        # and both agree with the scalar readers
+        np.testing.assert_array_equal(
+            decode_timestamps(ts_streams[i][0], n), ts
+        )
+        np.testing.assert_array_equal(decode_values(val_streams[i][0], n), vals)
