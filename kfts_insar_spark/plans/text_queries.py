@@ -402,6 +402,77 @@ def q_emb_lsh_topk(spark, sf_dir):
     )
 
 
+IVF_CELLS = 16  # coarse-quantizer size
+IVF_NPROBE = 4  # cells probed per query
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbours — the inverted-file scale path
+    next to the sign-LSH variant: a small coarse quantizer (IVF_CELLS
+    centroids; deterministically seeded from the first vectors, standing in
+    for trained centroids) partitions the corpus by nearest centroid, each
+    query probes its IVF_NPROBE nearest cells, and exact quantized cosine
+    ranks the candidates (top-3). All assignment math is integer
+    (||q−c||² = |q|² + |c|² − 2·q·c) → value-exact vs the oracle. At 10^12
+    vectors the cell equi-join scans nprobe/cells of the corpus instead of
+    all of it."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q_: p * q_),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n = e.select("vec_id", "q", dot(F.col("q"), F.col("q")).alias("n2"))
+    cents = n.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("q").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    # assignment: nearest centroid per vector (ties → lowest cell id)
+    d2 = F.col("n2") + F.col("cn2") - 2 * dot(F.col("q"), F.col("cv"))
+    w_v = W.partitionBy("vec_id").orderBy("d2", "cell")
+    asn = (
+        n.join(F.broadcast(cents), how="cross")
+        .select("vec_id", "q", "n2", "cell", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_v))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "d2")
+    )
+    # probe lists: each query's IVF_NPROBE nearest cells
+    qs = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    qd2 = F.col("qn2") + F.col("cn2") - 2 * dot(F.col("qv"), F.col("cv"))
+    w_q = W.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qs.join(F.broadcast(cents), how="cross")
+        .select("query_id", "qv", "qn2", "cell", qd2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("query_id", "qv", "qn2", "cell")
+    )
+    # candidates = vectors in probed cells; exact cosine rank within
+    cand = asn.join(probes, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    cos = dot(F.col("q"), F.col("qv")).cast("double") / F.sqrt(
+        (F.col("n2") * F.col("qn2")).cast("double")
+    )
+    w_r = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rk", F.row_number().over(w_r).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
 EMB_NEARDUP_TAU = 0.3
 
 
@@ -453,6 +524,7 @@ QUERIES = {
     "emb_topk_cosine": q_emb_topk_cosine,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_cosine_neardup": q_emb_cosine_neardup,
+    "emb_ivf_topk": q_emb_ivf_topk,
 }
 
 _W = _WORDS_SQL.format(c="text")
@@ -595,6 +667,54 @@ SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
   FROM pairs
 ) WHERE rk <= 5
 """,
+    "emb_ivf_topk": (lambda _dot: f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (acc, v) -> acc + v) AS n2
+  FROM q
+),
+cents AS (SELECT vec_id AS cell, qv AS cv, n2 AS cn2 FROM n WHERE vec_id < {IVF_CELLS}),
+asn AS (
+  SELECT vec_id, qv, n2, cell FROM (
+    SELECT nn.vec_id, nn.qv, nn.n2, c.cell,
+           row_number() OVER (PARTITION BY nn.vec_id
+             ORDER BY nn.n2 + c.cn2 - 2 * {_dot('nn.qv', 'c.cv')}, c.cell) AS rk
+    FROM n nn CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, pqv, qn2, cell FROM (
+    SELECT s.vec_id AS query_id, s.qv AS pqv, s.n2 AS qn2, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY s.n2 + c.cn2 - 2 * {_dot('s.qv', 'c.cv')}, c.cell) AS rk
+    FROM n s CROSS JOIN cents c WHERE s.vec_id < 10
+  ) WHERE rk <= {IVF_NPROBE}
+)
+SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           CAST({_dot('a.qv', 'p.pqv')} AS DOUBLE)
+             / sqrt(CAST(a.n2 * p.qn2 AS DOUBLE)) AS cos
+    FROM asn a JOIN probes p USING (cell)
+    WHERE a.vec_id != p.query_id
+  )
+) WHERE rk <= 3
+""")(
+        lambda x, y: (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, 65), i -> {x}[i] * {y}[i])), "
+            "(acc, v) -> acc + v)"
+        )
+    ),
     "emb_cosine_neardup": f"""
 WITH q AS (
   SELECT vec_id,
