@@ -110,21 +110,42 @@ def main() -> None:
     # dominated by per-stage fixed costs (plan compile + commit, ~2 s × 5
     # stages) — profiled: the actual writes are ~0.5 s — so
     # ingest_docs_per_sec under-states large-batch throughput.
+    import shutil
+    import tempfile
+
+    from kfts_insar_spark.pipeline import TierPipeline
+
+    tiers_td = tempfile.mkdtemp(prefix="bench_tiers_")
+
     def tiers():
-        import shutil
-        import tempfile
-
-        from kfts_insar_spark.pipeline import TierPipeline
-
-        td = tempfile.mkdtemp(prefix="bench_tiers_")
-        try:
-            pipe = TierPipeline(td, salt_buckets=CPUS, run_gapfill=False)
-            res = pipe.run(spark, sequences(spark, n_docs, partitions=CPUS * 2))
-            return sum(res["rows"].values())
-        finally:
-            shutil.rmtree(td, ignore_errors=True)
+        pipe = TierPipeline(tiers_td, salt_buckets=CPUS, run_gapfill=False)
+        res = pipe.run(spark, sequences(spark, n_docs, partitions=CPUS * 2))
+        return sum(res["rows"].values())
 
     timed("q_tiers", tiers)
+
+    # --- the stateful KF gap-fill stage, measured as its own increment:
+    # resume the SAME pipeline with gap-fill enabled — the committed tiers
+    # are a noop, so this times series-ingest + the per-(source, doc-hash
+    # shard) Kalman stage (5×kf_shards independent sub-series; the round-1
+    # design's per-source keying capped this stage at 5 tasks)
+    kf_series_box = [0]
+
+    def pipeline_kf():
+        pipe = TierPipeline(
+            tiers_td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
+        )
+        pipe.run(spark, sequences(spark, n_docs, partitions=CPUS * 2))
+        kf_series_box[0] = sum(
+            e.get("rows", 0) for e in pipe.kf_state.last_commit_files
+        )
+        return pipe.gap.last_commit_rows()
+
+    try:
+        timed("q_pipeline_kf", pipeline_kf)
+    finally:
+        shutil.rmtree(tiers_td, ignore_errors=True)
+    kf_state_series = kf_series_box[0]
 
     # --- pure aggregation throughput: one-pass base→1d rollup over 10×
     # the sf docs (generation is integer-expression-only, tokens pruned) —
@@ -192,6 +213,12 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "rolled_up_points_per_sec": round(counts["q_tiers"] / timings["q_tiers"], 1),
+        "gapfilled_points_per_sec": round(
+            counts["q_pipeline_kf"] / timings["q_pipeline_kf"], 1
+        ),
+        # distinct (source, shard) sub-series carrying KF state — the
+        # gap-fill stage's parallelism unit (round-1 ceiling was 5)
+        "kf_stage_series": kf_state_series,
         "ingest_docs_per_sec": round(n_docs / timings["q_tiers"], 1),
         "rollup_docs_per_sec": round(big_docs / timings["q_rollup_direct"], 1),
         "kalman_points_per_sec": round(

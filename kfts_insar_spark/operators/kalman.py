@@ -911,17 +911,23 @@ def kalman_gapfill_combined(
     twice per run (once for output, once with emit_state=True), doubling its
     most expensive stage.
 
-    Input: (doc_id, values array<double>[, k_done, idx0, m, P][, p0]). Rows
-    whose state columns are NULL (or absent) cold-start from the grid
-    origin — honouring an optional per-doc ``p0`` prior-variance array (the
-    earthquake patch); rows with state resume, stratified by (k_done, idx0,
-    state width) exactly like :func:`kalman_resume`. No shuffle beyond
-    whatever join produced the input — mapInPandas over doc-wide rows.
+    Input: (doc_id, values array<double>[, k_done, idx0, m, P][, p0]) — OR
+    the sparse layout (doc_id, steps array<int>, vals array<double>) for
+    series with gaps: densifying inside the kernel runner is O(n) numpy
+    scatter, whereas building the dense array JVM-side with per-position
+    map lookups is O(n²) per series (measured as the stage's entire cost
+    at a 4.5k-step grid). Rows whose state columns are NULL (or absent)
+    cold-start from the grid origin — honouring an optional per-doc ``p0``
+    prior-variance array (the earthquake patch); rows with state resume,
+    stratified by (k_done, idx0, state width) exactly like
+    :func:`kalman_resume`. No shuffle beyond whatever join produced the
+    input — mapInPandas over doc-wide rows.
     """
     cfg = cfg or KFConfig()
     t_grid = np.asarray(t_grid, dtype=np.float64)
     M = len(t_grid)
     has_state = "k_done" in series_wide.columns
+    sparse = "steps" in series_wide.columns
 
     def emit(
         docs: np.ndarray,
@@ -948,7 +954,19 @@ def kalman_gapfill_combined(
     def flush(whole: pd.DataFrame) -> pd.DataFrame:
         whole = whole.reset_index(drop=True)
         docs_all = whole["doc_id"].to_numpy()
-        values_all = _stack_values(whole["values"].to_numpy(), M)
+        if sparse:
+            values_all = np.full((len(whole), M), np.nan)
+            rows_steps = whole["steps"].to_numpy()
+            rows_vals = whole["vals"].to_numpy()
+            ridx = np.repeat(
+                np.arange(len(whole)), [len(s) for s in rows_steps]
+            )
+            if len(ridx):
+                values_all[
+                    ridx, np.concatenate(rows_steps).astype(np.int64)
+                ] = np.concatenate(rows_vals)
+        else:
+            values_all = _stack_values(whole["values"].to_numpy(), M)
         notna = (
             whole["k_done"].notna().to_numpy()
             if has_state

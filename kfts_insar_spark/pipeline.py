@@ -307,10 +307,12 @@ class TierPipeline:
             return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
         t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
 
-        # doc-wide layout: one row per sub-series with a dense step-indexed
-        # value array (missing steps NULL → NaN gaps in the kernel)
+        # doc-wide SPARSE layout: one row per sub-series with sorted
+        # (steps, vals) arrays — densified by O(n) numpy scatter inside the
+        # kernel runner. (A JVM-side dense build via map lookups is O(n²)
+        # per series: measured as the entire stage cost on long grids.)
         step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
-        entries = F.collect_list(F.struct(F.col("step"), F.col("value")))
+        ent = F.array_sort(F.collect_list(F.struct(F.col("step"), F.col("value"))))
         wide = (
             series_now.filter(F.col("bucket_es") >= F.lit(lo))
             .select(
@@ -319,13 +321,11 @@ class TierPipeline:
                 F.col("sum_tok").cast("double").alias("value"),
             )
             .groupBy("doc_id")
-            .agg(F.map_from_entries(entries).alias("_m"))
+            .agg(ent.alias("_e"))
             .select(
                 "doc_id",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda i: F.element_at(F.col("_m"), i),
-                ).alias("values"),
+                F.transform(F.col("_e"), lambda s: s["step"]).alias("steps"),
+                F.transform(F.col("_e"), lambda s: s["value"]).alias("vals"),
             )
         )
         if prev is not None:

@@ -98,8 +98,12 @@ class SnapshotTable:
 
         entries = []
         for root, _dirs, files in os.walk(out_dir):
+            # never pick up committer scratch (a stalled/retried task can
+            # leave attempt files under _temporary — counting them would
+            # double rows in the manifest)
+            _dirs[:] = [d for d in _dirs if not d.startswith("_")]
             for f in files:
-                if not f.endswith(".parquet"):
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
                     continue
                 full = os.path.join(root, f)
                 parts = {}
