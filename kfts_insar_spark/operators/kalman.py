@@ -958,13 +958,18 @@ def kalman_gapfill_combined(
             values_all = np.full((len(whole), M), np.nan)
             rows_steps = whole["steps"].to_numpy()
             rows_vals = whole["vals"].to_numpy()
-            ridx = np.repeat(
-                np.arange(len(whole)), [len(s) for s in rows_steps]
-            )
+            # NULL arrays (state-only rows from the outer join) = no new data
+            lens = [0 if s is None else len(s) for s in rows_steps]
+            ridx = np.repeat(np.arange(len(whole)), lens)
             if len(ridx):
                 values_all[
-                    ridx, np.concatenate(rows_steps).astype(np.int64)
-                ] = np.concatenate(rows_vals)
+                    ridx,
+                    np.concatenate(
+                        [s for s in rows_steps if s is not None and len(s)]
+                    ).astype(np.int64),
+                ] = np.concatenate(
+                    [v for v in rows_vals if v is not None and len(v)]
+                )
         else:
             values_all = _stack_values(whole["values"].to_numpy(), M)
         notna = (

@@ -306,6 +306,26 @@ class TierPipeline:
         if prev is not None and m <= k_done_prev:
             return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
         t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
+        cover_min_step = (
+            int(self.kf_state.property("idx0", 0)) if prev is not None else 0
+        )
+
+        # Incremental scan: with committed state, only steps inside the
+        # resume window matter (the kernel re-emits [idx0, k_done) from
+        # state and consumes >= k_done) — scanning the WHOLE series history
+        # every run would make the per-run cost grow with total history.
+        # A sub-series first appearing later (new source) has no earlier
+        # data by construction, so the bound is lossless for cold starts
+        # too. File-level pday pruning happens at the manifest.
+        scan = series_now
+        if cover_min_step > 0:
+            cover_es = lo + cover_min_step * RAW_SECONDS
+            import datetime as dt
+
+            cut_day = dt.datetime.utcfromtimestamp(cover_es).strftime("%Y-%m-%d")
+            scan = self.series.read(
+                spark, where=lambda p: p.get("pday", "") >= cut_day
+            ).filter(F.col("bucket_es") >= F.lit(int(cover_es)))
 
         # doc-wide SPARSE layout: one row per sub-series with sorted
         # (steps, vals) arrays — densified by O(n) numpy scatter inside the
@@ -314,7 +334,7 @@ class TierPipeline:
         step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
         ent = F.array_sort(F.collect_list(F.struct(F.col("step"), F.col("value"))))
         wide = (
-            series_now.filter(F.col("bucket_es") >= F.lit(lo))
+            scan.filter(F.col("bucket_es") >= F.lit(lo))
             .select(
                 F.concat_ws("/", "source", "shard").alias("doc_id"),
                 step.alias("step"),
@@ -329,10 +349,11 @@ class TierPipeline:
             )
         )
         if prev is not None:
-            wide = wide.join(prev, "doc_id", "left")
-            cover_min_step = int(self.kf_state.property("idx0", 0))
-        else:
-            cover_min_step = 0
+            # FULL outer: a sub-series with state but no rows inside the
+            # incremental window must still resume (gap-forecast to the new
+            # grid end and keep its state current), and a brand-new
+            # sub-series cold-starts
+            wide = wide.join(prev, "doc_id", "full")
 
         combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
         try:

@@ -428,3 +428,66 @@ def test_earthquake_prior_p0_pins_far_docs():
         ora = kalman_direct_oracle(y[b], T, CFG, p0_diag=p0[b])
         np.testing.assert_allclose(res["phase"][b], ora["phase"], rtol=1e-8)
         np.testing.assert_allclose(res["m"][b], ora["m"], rtol=1e-7, atol=1e-9)
+
+
+def test_combined_sparse_resumes_state_only_rows(spark):
+    """kalman_gapfill_combined, sparse layout: a sub-series with committed
+    state but NO rows in the incremental window (NULL steps/vals from the
+    outer join) must still resume — re-emitting its overlap window and
+    forecasting the extended grid — and a cold row must start fresh."""
+    from kfts_insar_spark.operators.kalman import kalman_gapfill_combined
+
+    _, y, _, _ = make_series(3)
+    k_split = 60
+    r1 = kalman_direct_batch(y[:, :k_split], T[:k_split], CFG)
+    rows = []
+    # doc 0: state + new data; doc 1: state only; doc 2: cold with data
+    for b, with_state, with_data in ((0, True, True), (1, True, False), (2, False, True)):
+        steps = vals = None
+        if with_data:
+            ks = [k for k in range((k_split if with_state else 0), M)
+                  if np.isfinite(y[b, k])]
+            steps = [int(k) for k in ks]
+            vals = [float(y[b, k]) for k in ks]
+        st = (
+            (int(r1["k_done"]), int(r1["idx0"]),
+             [float(v) for v in r1["m"][b]],
+             [float(v) for v in r1["P"][b].ravel()])
+            if with_state
+            else (None, None, None, None)
+        )
+        rows.append((f"d{b:03d}", steps, vals) + st)
+    wide = spark.createDataFrame(
+        rows,
+        "doc_id string, steps array<int>, vals array<double>, "
+        "k_done int, idx0 int, m array<double>, P array<double>",
+    )
+    out = (
+        kalman_gapfill_combined(wide, T, CFG)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == {"d000", "d001", "d002"}
+    # doc 1 (state-only): overlap re-emitted + pure forecasts to the end
+    p1 = np.asarray(out.loc["d001", "phase"], dtype=np.float64)
+    assert np.isfinite(p1[r1["idx0"]:]).all()
+    g1 = np.asarray(out.loc["d001", "gap"])
+    assert all(bool(v) for v in g1[k_split:])  # every new step forecast
+    assert out.loc["d001", "k_done"] == M
+    # doc 0 matches a direct resume; doc 2 matches a cold full run
+    y0 = y.copy()
+    r2 = kalman_direct_batch(
+        y0[0:1], T, CFG,
+        init={"X": r1["m"][0:1], "P": r1["P"][0:1],
+              "idx0": r1["idx0"], "k_done": r1["k_done"]},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.loc["d000", "phase"], dtype=np.float64)[k_split:],
+        r2["phase"][0][k_split:], rtol=1e-12,
+    )
+    cold = kalman_direct_batch(y[2:3], T, CFG)
+    np.testing.assert_allclose(
+        np.asarray(out.loc["d002", "phase"], dtype=np.float64),
+        cold["phase"][0], rtol=1e-12,
+    )
