@@ -92,6 +92,53 @@ def q_pair_reconstruction_rms(spark, sf_dir):
     )
 
 
+def q_per_obs_rms(spark, sf_dir):
+    """Per-interferogram (per-obs-id) misfit stats (A4 — nanmean(|d−r|) and
+    RMS grouped by observation id ACROSS pixels, /root/reference/
+    kf2rms.py:152-154 — the transpose of A2/A3's per-pixel grouping). Same
+    dyadic obs/recon construction as q_pair_reconstruction_rms; the misfit
+    d = k/128 (k < 64) so sums of d, |d| and d² are exact in any order."""
+    ph = _phases(spark)
+    steps = ph.select("doc", "step")
+    pairs = (
+        steps.alias("p")
+        .join(
+            spark.range(1, T_SEP + 1).select(F.col("id").cast("int").alias("d")),
+            how="cross",
+        )
+        .filter(F.col("step") >= F.col("d"))
+        .select(
+            "doc",
+            (F.col("step") - F.col("d")).alias("t_minus"),
+            F.col("step").alias("t_plus"),
+        )
+    )
+    a = ph.select("doc", F.col("step").alias("t_plus"), F.col("phase").alias("pp"))
+    b = ph.select("doc", F.col("step").alias("t_minus"), F.col("phase").alias("pm"))
+    noise = (
+        ((F.col("doc") * 131 + F.col("t_plus") * 17 + F.col("t_minus")) % 64)
+        .cast("double")
+        / F.lit(128.0)
+    )
+    obs = (
+        pairs.join(a, ["doc", "t_plus"])
+        .join(b, ["doc", "t_minus"])
+        .select(
+            "doc",
+            "t_minus",
+            "t_plus",
+            (F.col("pp") - F.col("pm") + noise).alias("obs"),
+            (F.col("pp") - F.col("pm")).alias("recon"),
+        )
+    )
+    d = F.col("obs") - F.col("recon")
+    return obs.groupBy("t_minus", "t_plus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_px"),
+        (F.sum(F.abs(d)) / F.count(F.lit(1))).alias("mean_abs"),
+        F.sqrt(F.sum(d * d) / F.count(F.lit(1))).alias("rms"),
+    )
+
+
 def q_close_events_dedup(spark, sf_dir):
     """Theta self-join dedup (J5 — closeby-quake dedup with inequality
     predicates, /root/reference/kf/utils/earthquake2step.py:243-269):
@@ -499,6 +546,7 @@ def q_pipeline_resume_consistency(spark, sf_dir):
 
 QUERIES = {
     "pair_reconstruction_rms": q_pair_reconstruction_rms,
+    "per_obs_rms": q_per_obs_rms,
     "close_events_dedup": q_close_events_dedup,
     "model_eval_shift": q_model_eval_shift,
     "model_basis_spline": q_model_basis_spline,
@@ -536,6 +584,28 @@ SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs,
        sqrt(sum((obs - recon) * (obs - recon)) / count(*)) AS rms,
        sum(obs - recon) / count(*) AS mean_diff
 FROM obs GROUP BY doc
+""",
+    "per_obs_rms": f"""
+WITH ph AS ({_PHASES_SQL}),
+pairs AS (
+  SELECT p.doc, p.step - d.d AS t_minus, p.step AS t_plus
+  FROM ph p CROSS JOIN (SELECT CAST(i AS INT) AS d FROM range(1, {T_SEP + 1}) t(i)) d
+  WHERE p.step >= d.d
+),
+obs AS (
+  SELECT pr.doc, pr.t_minus, pr.t_plus,
+         a.phase - b.phase
+           + CAST((pr.doc * 131 + pr.t_plus * 17 + pr.t_minus) % 64 AS DOUBLE) / 128.0
+           AS obs,
+         a.phase - b.phase AS recon
+  FROM pairs pr
+  JOIN ph a ON a.doc = pr.doc AND a.step = pr.t_plus
+  JOIN ph b ON b.doc = pr.doc AND b.step = pr.t_minus
+)
+SELECT t_minus, t_plus, CAST(count(*) AS BIGINT) AS n_px,
+       sum(abs(obs - recon)) / count(*) AS mean_abs,
+       sqrt(sum((obs - recon) * (obs - recon)) / count(*)) AS rms
+FROM obs GROUP BY t_minus, t_plus
 """,
     "close_events_dedup": f"""
 WITH p AS (

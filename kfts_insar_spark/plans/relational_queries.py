@@ -246,8 +246,43 @@ def q_orders_monthly(spark, sf_dir):
     )
 
 
+def q_geometric_band_filter(spark, sf_dir):
+    """Geometric band filter (P4 — keep pixels between two parallel lines
+    X = slope·Y + off, /root/reference/kf/readinput.py:420-453): events kept
+    where value lies in the band (slope·user_id + o1, slope·user_id + o2].
+    Dyadic slope → slope·user_id exact; comparisons identical cross-engine.
+    Both band predicates are plain column inequalities the scan can
+    evaluate before any shuffle (pushed residual filter)."""
+    ev = load(spark, sf_dir, "events")
+    line = F.lit(1.5) * F.col("user_id").cast("double")
+    band = (F.col("value") > line + F.lit(10.0)) & (
+        F.col("value") <= line + F.lit(250.0)
+    )
+    return ev.filter(band).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_band"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+def q_mask_fraction(spark, sf_dir):
+    """Mask fraction summary (A8 — sum(mask)/(Nx·Ny) i.e. avg of an
+    indicator, /root/reference/kf/readinput.py:413-416): per event_type,
+    the fraction of rows passing a coherence-style mask. The 0/1 sum is an
+    integer-valued double and count is exact → the division is a single
+    correctly-rounded op on identical operands in both engines."""
+    ev = load(spark, sf_dir, "events")
+    mask = (F.col("value") > F.lit(100.0)) & (F.col("user_id") % 7 != 0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(mask.cast("long")).alias("n_masked"),
+        F.avg(mask.cast("double")).alias("mask_frac"),
+    )
+
+
 QUERIES = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "geometric_band_filter": q_geometric_band_filter,
+    "mask_fraction": q_mask_fraction,
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly_rollup": q_events_hourly_rollup,
     "quantiles_quantity": q_quantiles_quantity,
@@ -268,6 +303,22 @@ _S = DSUM_SQL
 _A = DAVG_SQL
 
 ORACLE_SQL = {
+    "geometric_band_filter": f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_in_band,
+       {_S.format(c='value')} AS sum_value
+FROM events
+WHERE value > 1.5 * CAST(user_id AS DOUBLE) + 10.0
+  AND value <= 1.5 * CAST(user_id AS DOUBLE) + 250.0
+GROUP BY 1
+""",
+    "mask_fraction": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN value > 100.0 AND user_id % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       AVG(CASE WHEN value > 100.0 AND user_id % 7 != 0 THEN 1.0 ELSE 0.0 END) AS mask_frac
+FROM events GROUP BY 1
+""",
     "lineitem_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        {_S.format(c='l_quantity')} AS sum_qty,
