@@ -1082,8 +1082,14 @@ def kalman_pairs(
 
 def explode_kf_output(wide: DataFrame, t_grid: np.ndarray) -> DataFrame:
     """(doc_id, phase[], std[], innov[], gap[]) → long KF_OUTPUT rows,
-    entirely JVM-side (posexplode + array literal for t)."""
-    t_arr = F.array(*[F.lit(float(t)) for t in np.asarray(t_grid)])
+    entirely JVM-side. The epoch axis joins in from a broadcast (step, t)
+    grid table — an inline array literal here costs a full array
+    construction per OUTPUT row (measured: it WAS the explode stage's
+    entire cost on long grids)."""
+    t_vals = [float(t) for t in np.asarray(t_grid)]
+    grid_df = wide.sparkSession.createDataFrame(
+        list(enumerate(t_vals)), "step int, t double"
+    )
     return (
         wide.select(
             "doc_id",
@@ -1094,12 +1100,13 @@ def explode_kf_output(wide: DataFrame, t_grid: np.ndarray) -> DataFrame:
         .select(
             "doc_id",
             F.col("step").cast("int").alias("step"),
-            F.element_at(t_arr, F.col("step") + 1).alias("t"),
             F.col("z.phase").alias("phase"),
             F.col("z.std").alias("std"),
             F.col("z.innov").alias("innov"),
             F.col("z.gap").alias("gap_filled"),
         )
+        .join(F.broadcast(grid_df), "step")
+        .select("doc_id", "step", "t", "phase", "std", "innov", "gap_filled")
     )
 
 
