@@ -350,7 +350,21 @@ def _emit_chunked(
 def encode_values_chunked(vals: np.ndarray, starts: np.ndarray) -> list[bytes]:
     """Vectorized Gorilla value encoding of MANY chunks at once.
     ``starts`` = sorted start indices of each chunk in ``vals``.
-    Wire-compatible with :func:`decode_values` per chunk."""
+    Wire-compatible with :func:`decode_values` per chunk.
+
+    Per chunk the encoder picks the cheaper of two valid layouts (the
+    decoder accepts both — same wire format):
+
+    - explicit: every changed value is a '11' block with its own window
+      (14 bits header + its significant bits);
+    - pooled: one '11' block opens a window pooled over the chunk
+      (lead = min lead, tail = min tail of its changed values — a
+      superset of every per-value window, so the '10' reuse form is
+      valid), then every later changed value is '10' + pooled-width bits.
+
+    The greedy per-value window walk of the original Gorilla encoder is a
+    sequential dependence chain; the pooled form recovers most of its
+    '10'-reuse savings with pure segment reductions."""
     bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
     N = len(bits)
     starts = np.asarray(starts, dtype=np.int64)
@@ -381,21 +395,50 @@ def encode_values_chunked(vals: np.ndarray, starts: np.ndarray) -> list[bytes]:
     llo = low.astype(np.uint32)
     tail = np.where(same | first, 0, _bl_pair(lhi, llo, _bl) - 1)
     sig = 64 - lead - tail
+    changed = ~first & ~same
 
+    # ---- per-chunk pooled window + layout choice (segment reductions)
+    chunk_of = np.searchsorted(starts, np.arange(N), side="right") - 1
+    lead_pool_c = np.minimum.reduceat(np.where(changed, lead, 64), starts)
+    tail_pool_c = np.minimum.reduceat(np.where(changed, tail, 64), starts)
+    n_changed_c = np.add.reduceat(changed.astype(np.int64), starts)
+    sum_sig_c = np.add.reduceat(np.where(changed, sig, 0), starts)
+    sig_pool_c = 64 - lead_pool_c - tail_pool_c
+    cost_explicit = 14 * n_changed_c + sum_sig_c
+    cost_pooled = np.where(
+        n_changed_c > 0,
+        14 + n_changed_c * sig_pool_c + (n_changed_c - 1) * 2,
+        0,
+    )
+    pooled_pt = (cost_pooled < cost_explicit)[chunk_of] & changed
+    # first changed value of each chunk (opens the pooled window)
+    cum = np.cumsum(changed)
+    cum_before_c = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+    first_changed = changed & ((cum - cum_before_c[chunk_of]) == 1)
+
+    lead_p = lead_pool_c[chunk_of]
+    tail_p = tail_pool_c[chunk_of]
+    sig_p = sig_pool_c[chunk_of]
+    use_tail = np.where(pooled_pt, tail_p, tail)
+    use_sig = np.where(pooled_pt, sig_p, sig)
     ctrl = (
         (np.uint64(0b11) << np.uint64(12))
-        | (lead.astype(np.uint64) << np.uint64(6))
-        | (sig - 1).astype(np.uint64)
+        | (np.where(pooled_pt, lead_p, lead).astype(np.uint64) << np.uint64(6))
+        | (use_sig - 1).astype(np.uint64)
     )
     f_vals = np.empty(2 * N, dtype=np.uint64)
     f_bits = np.zeros(2 * N, dtype=np.int64)
-    # slot 0: header | '0' | ctrl
-    f_vals[0::2] = np.where(first, bits, np.where(same, np.uint64(0), ctrl))
-    f_bits[0::2] = np.where(first, 64, np.where(same, 1, 14))
+    # slot 0: header | '0' | '10' (pooled reuse) | '11'+window ctrl
+    reuse = pooled_pt & ~first_changed
+    f_vals[0::2] = np.where(
+        first,
+        bits,
+        np.where(same, np.uint64(0), np.where(reuse, np.uint64(0b10), ctrl)),
+    )
+    f_bits[0::2] = np.where(first, 64, np.where(same, 1, np.where(reuse, 2, 14)))
     # slot 1: significant bits (changed values only)
-    changed = ~first & ~same
-    f_vals[1::2] = np.where(changed, x >> tail.astype(np.uint64), np.uint64(0))
-    f_bits[1::2] = np.where(changed, sig, 0)
+    f_vals[1::2] = np.where(changed, x >> use_tail.astype(np.uint64), np.uint64(0))
+    f_bits[1::2] = np.where(changed, use_sig, 0)
     pof = np.repeat(np.arange(N), 2)
     return _emit_chunked(f_vals, f_bits, pof, starts, N)
 

@@ -183,3 +183,23 @@ def test_lockstep_decoders_match_scalar():
             decode_timestamps(ts_streams[i][0], n), ts
         )
         np.testing.assert_array_equal(decode_values(val_streams[i][0], n), vals)
+
+
+def test_pooled_chunk_layout_never_larger_than_explicit():
+    """encode_values_chunked picks pooled-vs-explicit per chunk by exact
+    bit cost, so its output can never exceed the explicit-only encoder
+    (encode_values_vec) on the same chunks."""
+    from kfts_insar_spark.functions.codec import (
+        encode_values_chunked,
+        encode_values_vec,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.where(rng.random(4000) < 0.4, 42.0, rng.normal(0, 1e4, 4000))
+    starts = np.arange(0, 4000, 100)
+    pooled = encode_values_chunked(vals, starts)
+    for c, s in enumerate(starts):
+        chunk = vals[s : s + 100]
+        assert len(pooled[c]) <= len(encode_values_vec(chunk)), c
+        got = decode_values(pooled[c], len(chunk))
+        assert np.array_equal(got.view(np.uint64), chunk.view(np.uint64))
