@@ -252,6 +252,67 @@ class SnapshotTable:
             os.remove(os.path.join(self.path, "manifests", f"{s['snapshot_id']}.json"))
         return {"removed_files": removed, "removed_snapshots": len(drop)}
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        where=None,
+    ) -> dict:
+        """Bin-pack small data files (Iceberg ``rewrite_data_files``): in
+        every partition holding ≥ ``min_files`` files under ``target_bytes``,
+        rewrite those files into ~target-sized ones and commit a ``replace``
+        snapshot. Logical content is unchanged; prior snapshots still see
+        the old files until :meth:`vacuum`. ``where`` restricts compaction
+        to matching partitions (e.g. only closed days).
+
+        This is the maintenance half of streaming/incremental ingest at
+        scale: each micro-batch append leaves per-partition small files,
+        and scan cost grows with file count (footer reads + task setup),
+        not bytes. One job rewrites all affected partitions (partition
+        values recovered from the file path, same trick as :meth:`read`).
+        """
+        m = self.manifest()
+        if m is None:
+            return {"partitions": 0, "files_before": 0, "files_after": 0}
+        by_part: dict[tuple, list[dict]] = {}
+        for e in m["files"]:
+            if where is not None and not where(e["partition"]):
+                continue
+            if e.get("bytes", target_bytes) >= target_bytes:
+                continue
+            by_part.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+        victims = [
+            e for group in by_part.values() if len(group) >= min_files for e in group
+        ]
+        if not victims:
+            return {"partitions": 0, "files_before": 0, "files_after": 0}
+        n_parts = sum(1 for g in by_part.values() if len(g) >= min_files)
+
+        from pyspark.sql import functions as F
+
+        keys = sorted({k for e in victims for k in e["partition"]})
+        df = spark.read.parquet(*[e["path"] for e in victims])
+        for k in keys:
+            df = df.withColumn(
+                k, F.regexp_extract(F.input_file_name(), f"{k}=([^/]+)", 1)
+            )
+        # hash-cluster on the partition keys: each partition's rows land in
+        # one task → one output file per partition dir (the bin-pack)
+        if keys:
+            df = df.repartition(max(1, min(n_parts, 64)), *keys)
+        sid, parent = self._next_sid()
+        new = self._write_files(df, sid, keys or None)
+        self.last_commit_files = new
+        dead = {e["path"] for e in victims}
+        kept = [e for e in m["files"] if e["path"] not in dead]
+        self._commit(sid, kept + new, "replace", None, parent)
+        return {
+            "partitions": n_parts,
+            "files_before": len(victims),
+            "files_after": len(new),
+        }
+
     # ------------------------------------------------------------- reads
     def read(
         self,

@@ -190,3 +190,48 @@ def test_gapfill_parallelism_shape(spark, seq, tmp_path):
     assert n_series > 16, n_series  # ~5 sources × 16 shards
     g = pipe.read_tier(spark, "gapfilled")
     assert g.select("source", "shard").distinct().count() == n_series
+
+
+def test_compact_binpacks_small_files(spark, seq, tmp_path):
+    """SnapshotTable.compact (Iceberg rewrite_data_files analog): three
+    incremental appends leave >=3 files per touched day; compaction
+    rewrites each day to one file, preserves rows/values and the table
+    properties (watermark), and prior snapshots still read the old files."""
+    pipe = TierPipeline(str(tmp_path / "t"))
+    cuts = seq.approxQuantile("ingest_es", [0.35, 0.7], 0)
+    pipe.run(spark, seq.filter(F.col("ingest_es") <= cuts[0]))
+    pipe.run(spark, seq.filter(F.col("ingest_es") <= cuts[1]))
+    pipe.run(spark, seq)
+    raw = pipe.raw
+    before = _tier_rows(spark, pipe, "raw")
+    sid_before = raw.current_snapshot_id()
+    files_before = len(raw.manifest()["files"])
+    wm = raw.property("watermark_es")
+
+    per_day: dict = {}
+    for e in raw.manifest()["files"]:
+        per_day.setdefault(e["partition"].get("pday"), []).append(e)
+    assert any(len(v) >= 2 for v in per_day.values()), "fixture has no small files"
+
+    res = raw.compact(spark, target_bytes=128 * 1024 * 1024, min_files=2)
+    assert res["partitions"] >= 1
+    assert res["files_after"] < res["files_before"]
+    assert len(raw.manifest()["files"]) < files_before
+    # one file per compacted day
+    per_day_after: dict = {}
+    for e in raw.manifest()["files"]:
+        per_day_after.setdefault(e["partition"].get("pday"), []).append(e)
+    for day, group in per_day.items():
+        if len(group) >= 2:
+            assert len(per_day_after[day]) == 1, day
+    # logical content identical, properties inherited
+    assert _tier_rows(spark, pipe, "raw") == before
+    assert raw.property("watermark_es") == wm
+    # time travel: the pre-compaction snapshot still reads the old files
+    old = raw.read(spark, snapshot_id=sid_before)
+    cols = [c for c in old.columns if c != "pday"]
+    assert sorted(tuple(r) for r in old.select(*cols).collect()) == before
+    # and a replayed pipeline run on the compacted table is still a noop
+    sid = raw.current_snapshot_id()
+    pipe.run(spark, seq)
+    assert raw.current_snapshot_id() == sid
