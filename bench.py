@@ -7,6 +7,10 @@ Measures the engine's core workloads at $SPARK_GRAFT_SF_DIR (default
 - q_tiers:        full committed pipeline raw→1h→1d→compressed (snapshot
                   commits + lineage; fixed per-stage costs dominate at
                   bench scale — see comment at the job)
+- q_pipeline_kf:  the stateful KF gap-fill stage on the committed tiers
+                  (series ingest + per-(source, shard) kernel + stitch)
+- q_pipeline_incr: resumed full-input run over a 90%-committed pipeline —
+                  incremental cost vs history (incremental_vs_full)
 - q_rollup_direct: one-pass base→1d aggregation over 10× docs (pure
                   shuffle/agg throughput; the BASELINE rolled-up points path)
 - q_compress:     Gorilla chunk-vectorized pack of the raw tier
@@ -185,9 +189,23 @@ def main() -> None:
 
     timed("q_rollup_direct", rollup_direct_big)
 
+    comp_box = [0, 0]  # total codec bytes, total points
+
     def compress():
         seq = sequences(spark, n_docs, partitions=CPUS * 2)
-        return compress_tier(rollup_raw(seq, salt_buckets=CPUS)).count()
+        r = (
+            compress_tier(rollup_raw(seq, salt_buckets=CPUS))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.octet_length("ts_codec") + F.octet_length("val_codec")
+                ).alias("nbytes"),
+                F.sum("n_points").alias("npts"),
+            )
+            .first()
+        )
+        comp_box[0], comp_box[1] = int(r.nbytes), int(r.npts)
+        return int(r.n)
 
     timed("q_compress", compress)
 
@@ -249,6 +267,9 @@ def main() -> None:
         "incremental_vs_full": round(
             timings["q_pipeline_incr"] / timings["q_pipeline_kf"], 3
         ),
+        # Gorilla tier storage: codec bytes per (ts, value) point vs the
+        # 16 B/point raw form (pooled-window chunk encoder)
+        "compress_bytes_per_point": round(comp_box[0] / max(comp_box[1], 1), 3),
         "ingest_docs_per_sec": round(n_docs / timings["q_tiers"], 1),
         "rollup_docs_per_sec": round(big_docs / timings["q_rollup_direct"], 1),
         "kalman_points_per_sec": round(
