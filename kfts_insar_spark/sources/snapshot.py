@@ -31,6 +31,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between operation planning and commit."""
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
@@ -150,10 +154,31 @@ class SnapshotTable:
             "properties": {**inherited, **(properties or {})},
         }
         mpath = os.path.join(self.path, "manifests", f"{sid}.json")
-        tmp = mpath + ".tmp"
+        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
+        # optimistic concurrency (Iceberg commit semantics). Two guards:
+        # os.link claims the snapshot id EXCLUSIVELY (fails if a racing
+        # writer already wrote this manifest name — never clobbers a
+        # committed manifest), and the parent check catches a writer that
+        # advanced CURRENT past our planning snapshot. Data files written
+        # for a failed attempt are orphans (vacuum cleans them); the
+        # caller retries against the current snapshot.
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"{self.path}: snapshot id {sid} already committed by a "
+                "concurrent writer; re-plan against the current snapshot"
+            ) from None
+        finally:
+            os.remove(tmp)
+        if self.current_snapshot_id() != parent:
+            os.remove(mpath)  # ours — exclusively claimed above
+            raise ConcurrentCommitError(
+                f"{self.path}: snapshot advanced past parent={parent} "
+                "during commit; re-plan against the current snapshot"
+            )
         # atomic CURRENT swap — the commit point
         tmp = self._current_path + ".tmp"
         with open(tmp, "w") as f:

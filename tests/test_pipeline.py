@@ -235,3 +235,30 @@ def test_compact_binpacks_small_files(spark, seq, tmp_path):
     sid = raw.current_snapshot_id()
     pipe.run(spark, seq)
     assert raw.current_snapshot_id() == sid
+
+
+def test_concurrent_commit_detected(spark, seq, tmp_path):
+    """Optimistic concurrency: a commit planned against a stale parent
+    snapshot must fail instead of silently dropping the interleaved
+    writer's files (Iceberg commit semantics)."""
+    from kfts_insar_spark.sources.snapshot import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    t.append(df)
+    # writer A plans (reads parent), writer B commits in between
+    sid, parent = t._next_sid()
+    files = t._write_files(df, sid, None)
+    t.append(df)  # writer B wins, taking the same snapshot id
+    # same-sid race: A must NOT clobber B's committed manifest
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(sid, files, "append", None, parent)
+    # stale-parent race with a fresh sid
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(sid + 1, files, "append", None, parent)
+    # table still reads writer B's state: 20 rows, manifest intact
+    assert t.read(spark).count() == 20
+    assert t.manifest() is not None
