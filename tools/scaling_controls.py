@@ -52,6 +52,27 @@ def mem_task(_i: int) -> float:
     return float(a[-1])
 
 
+def kf_task(_i: int) -> float:
+    # the ENGINE'S OWN Kalman kernel on a cache-typical batch, with no
+    # Spark, no Arrow, no shuffle: if this multiprocessing scale-up lands
+    # at the same efficiency as the Spark kalman job, the shortfall vs the
+    # 0.8 target is the host's shared memory system, not the engine
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from kfts_insar_spark.operators.kalman import KFConfig, kalman_direct_batch
+
+    cfg = KFConfig(model=[("POLY", 1), ("SIN", 6.28), ("COS", 6.28)], t_sep=4)
+    M = 92
+    t = np.arange(M) * 12.0 / 365.25
+    rng = np.random.default_rng(_i % 8)
+    y = rng.normal(0.0, 1.0, (2000, M))
+    y[rng.random(y.shape) < 0.2] = np.nan
+    out = kalman_direct_batch(y, t, cfg)
+    return float(out["phase"][0, -1])
+
+
 def run(task, workers: int, ntasks: int) -> float:
     with mp.Pool(workers) as p:
         p.map(task, range(workers))  # warm the pool
@@ -62,7 +83,12 @@ def run(task, workers: int, ntasks: int) -> float:
 
 def main() -> None:
     out = {}
-    for name, task, ntasks in (("alu", alu_task, 128), ("numpy_stream", numpy_task, 128), ("membw", mem_task, 128)):
+    for name, task, ntasks in (
+        ("alu", alu_task, 128),
+        ("numpy_stream", numpy_task, 128),
+        ("membw", mem_task, 128),
+        ("kf_kernel", kf_task, 128),
+    ):
         t8 = run(task, 8, ntasks)
         t32 = run(task, 32, ntasks)
         out[name] = {
