@@ -21,6 +21,10 @@ Measures the engine's core workloads at $SPARK_GRAFT_SF_DIR (default
 
 `value` is total wall seconds over the headline queries (unit: sec);
 `points_per_sec` fields report the throughput form of the same runs.
+Each query reports the MIN of $SPARK_GRAFT_BENCH_REPEATS (default 2) timed
+runs — this host shows 3-4× one-sided hypervisor stalls minute-to-minute
+(BENCH_SCALING.md), and the min is the reproducible engine cost. Stateful
+pipeline queries get a fresh table dir per run (never a warm noop).
 Run tools/bench_scaling.py for the N-vs-4N-cores scaling evidence.
 """
 
@@ -101,10 +105,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Steady-state protocol: each query is timed REPEATS times and the min
+    # is reported. This host shows 3-4× run-to-run swings from one-sided
+    # hypervisor stalls (BENCH_SCALING.md "hardware controls"); the min of
+    # two runs is the reproducible engine cost, the max is the weather.
+    # Stateful pipeline queries get a fresh table dir per run (fn takes no
+    # args but closes over a per-run setup via `mk`).
+    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+    def timed(name: str, fn, mk=None):
+        best, out = None, None
+        for _ in range(REPEATS):
+            arg = mk() if mk is not None else None
+            t0 = time.perf_counter()
+            out = fn(arg) if mk is not None else fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         counts[name] = out
         return out
 
@@ -119,25 +136,32 @@ def main() -> None:
 
     from kfts_insar_spark.pipeline import TierPipeline
 
-    tiers_td = tempfile.mkdtemp(prefix="bench_tiers_")
+    tiers_dirs: list[str] = []
 
-    def tiers():
-        pipe = TierPipeline(tiers_td, salt_buckets=CPUS, run_gapfill=False)
+    def mk_tiers_dir():
+        td = tempfile.mkdtemp(prefix="bench_tiers_")
+        tiers_dirs.append(td)
+        return td
+
+    def tiers(td):
+        pipe = TierPipeline(td, salt_buckets=CPUS, run_gapfill=False)
         res = pipe.run(spark, sequences(spark, n_docs, partitions=CPUS * 2))
         return sum(res["rows"].values())
 
-    timed("q_tiers", tiers)
+    timed("q_tiers", tiers, mk=mk_tiers_dir)
 
     # --- the stateful KF gap-fill stage, measured as its own increment:
-    # resume the SAME pipeline with gap-fill enabled — the committed tiers
-    # are a noop, so this times series-ingest + the per-(source, doc-hash
-    # shard) Kalman stage (5×kf_shards independent sub-series; the round-1
+    # resume a committed tiers dir (one fresh dir per repeat, produced by
+    # the q_tiers runs) with gap-fill enabled — the committed tiers are a
+    # noop, so this times series-ingest + the per-(source, doc-hash shard)
+    # Kalman stage (5×kf_shards independent sub-series; the round-1
     # design's per-source keying capped this stage at 5 tasks)
     kf_series_box = [0]
+    kf_dirs = iter(tiers_dirs)
 
-    def pipeline_kf():
+    def pipeline_kf(td):
         pipe = TierPipeline(
-            tiers_td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
+            td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
         )
         pipe.run(spark, sequences(spark, n_docs, partitions=CPUS * 2))
         kf_series_box[0] = sum(
@@ -146,35 +170,43 @@ def main() -> None:
         return pipe.gap.last_commit_rows()
 
     try:
-        timed("q_pipeline_kf", pipeline_kf)
+        timed("q_pipeline_kf", pipeline_kf, mk=lambda: next(kf_dirs))
     finally:
-        shutil.rmtree(tiers_td, ignore_errors=True)
+        for td in tiers_dirs:
+            shutil.rmtree(td, ignore_errors=True)
     kf_state_series = kf_series_box[0]
 
     # --- incremental resume: commit the pipeline on the first ~90% of
-    # ingest slots (untimed setup), then time a resumed run over the full
-    # input. With committed state the KF stage prunes its scan to the
-    # resume window and its kernel loop starts at k_done — the timed run's
-    # cost must track the INCREMENT, not total history (the property that
-    # makes per-run cost flat at 100 TB). Setup mirrors q_tiers +
-    # q_pipeline_kf at 90%, so incr vs q_pipeline_kf is like-for-like.
-    incr_td = tempfile.mkdtemp(prefix="bench_incr_")
+    # ingest slots (untimed setup, fresh per repeat), then time a resumed
+    # run over the full input. With committed state the KF stage prunes its
+    # scan to the resume window and its kernel loop starts at k_done — the
+    # timed run's cost must track the INCREMENT, not total history (the
+    # property that makes per-run cost flat at 100 TB). Setup mirrors
+    # q_tiers + q_pipeline_kf at 90%, so incr vs q_pipeline_kf is
+    # like-for-like.
     seq_all = sequences(spark, n_docs, partitions=CPUS * 2)
     split_es = int(seq_all.approxQuantile("ingest_es", [0.9], 0)[0])
-    setup = TierPipeline(incr_td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS)
-    setup.run(spark, seq_all.filter(F.col("ingest_es") <= F.lit(split_es)))
+    incr_dirs: list[str] = []
 
-    def pipeline_incr():
+    def mk_incr_dir():
+        td = tempfile.mkdtemp(prefix="bench_incr_")
+        incr_dirs.append(td)
+        setup = TierPipeline(td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS)
+        setup.run(spark, seq_all.filter(F.col("ingest_es") <= F.lit(split_es)))
+        return td
+
+    def pipeline_incr(td):
         pipe = TierPipeline(
-            incr_td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
+            td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
         )
         res = pipe.run(spark, seq_all)
         return res["rows"].get("gapfilled", 0)
 
     try:
-        timed("q_pipeline_incr", pipeline_incr)
+        timed("q_pipeline_incr", pipeline_incr, mk=mk_incr_dir)
     finally:
-        shutil.rmtree(incr_td, ignore_errors=True)
+        for td in incr_dirs:
+            shutil.rmtree(td, ignore_errors=True)
 
     # --- pure aggregation throughput: one-pass base→1d rollup over 10×
     # the sf docs (generation is integer-expression-only, tokens pruned) —

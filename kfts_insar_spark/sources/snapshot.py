@@ -91,16 +91,26 @@ class SnapshotTable:
             # repartition, not coalesce: coalesce would merge the upstream
             # (post-shuffle) stage down to `coalesce` tasks, serializing the
             # aggregation that produces the tier; a round-robin exchange of
-            # the tiny aggregate keeps the producer parallel
-            df = df.repartition(coalesce)
+            # the tiny aggregate keeps the producer parallel.
+            # Hash on the partition columns when present: round-robin makes
+            # every task write every partition value (tasks × days files);
+            # clustering by partition value writes ONE file per value —
+            # 4× fewer files to commit, list, and footer-read downstream.
+            # (This knob is for small incremental tiers; a bulk load that
+            # needs many files per partition value passes coalesce=None.)
+            if partition_by:
+                df = df.repartition(coalesce, *partition_by)
+            else:
+                df = df.repartition(coalesce)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(out_dir)
 
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        entries = []
+        found: list[tuple[str, dict]] = []
         for root, _dirs, files in os.walk(out_dir):
             # never pick up committer scratch (a stalled/retried task can
             # leave attempt files under _temporary — counting them would
@@ -109,25 +119,30 @@ class SnapshotTable:
             for f in files:
                 if not f.endswith(".parquet") or f.startswith((".", "_")):
                     continue
-                full = os.path.join(root, f)
                 parts = {}
                 rel = os.path.relpath(root, out_dir)
                 if rel != ".":
                     for seg in rel.split(os.sep):
                         k, _, v = seg.partition("=")
                         parts[k] = v
-                entries.append(
-                    {
-                        "path": full,
-                        "partition": parts,
-                        "bytes": os.path.getsize(full),
-                        # row count from the parquet footer: downstream
-                        # stages consume counts/partitions from metadata
-                        # instead of re-running the producing plan
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                    }
-                )
-        return entries
+                found.append((os.path.join(root, f), parts))
+
+        def entry(item):
+            full, parts = item
+            return {
+                "path": full,
+                "partition": parts,
+                "bytes": os.path.getsize(full),
+                # row count from the parquet footer: downstream stages
+                # consume counts/partitions from metadata instead of
+                # re-running the producing plan
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+            }
+
+        # footer reads are independent filesystem ops — serial driver-side
+        # reading was the measured bulk of the per-commit fixed cost
+        with ThreadPoolExecutor(min(16, max(1, len(found)))) as ex:
+            return list(ex.map(entry, found))
 
     def _commit(
         self,
