@@ -512,6 +512,93 @@ def q_emb_cosine_neardup(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- dedup clustering / curation
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the MinHash-LSH candidate pairs closed under
+    transitivity via distributed connected components (alternating
+    large-star/small-star, operators/concomp.py) — the step that turns
+    pairwise near-dup hits into dedup decisions. One row per clustered doc:
+    its cluster id (= min doc_id in the component, the exact-dedup
+    canonical-survivor convention), the cluster size, and whether this doc
+    is the canonical survivor."""
+    from ..operators.concomp import connected_components
+
+    pairs = q_doc_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        F.when(F.col("node") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+# per-lang keep rates ×1000 for the stratified sample (downsample the
+# over-represented head, keep the long tail — standard data-mix curation)
+SAMPLE_RATES = {"en": 200, "de": 500, "es": 800}
+SAMPLE_DEFAULT_RATE = 1000
+SAMPLE_A = 2654435761  # Knuth multiplicative constant (deterministic "rng")
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling by language: keep a doc iff
+    (doc_id·A) mod 1000 < rate[lang]. Hash-based (not Bernoulli) so the
+    sample is reproducible across runs/engines and join-stable — the form
+    that matters when the sample feeds a training mix at 10^12 docs.
+    Entirely Catalyst expressions; no shuffle at all (verified: the plan is
+    scan → filter → project)."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for s, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == s, F.lit(r)).otherwise(rate)
+    key = F.pmod(F.col("doc_id") * F.lit(SAMPLE_A), F.lit(1000))
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"), rate.alias("rate"))
+        .filter(F.col("sample_key") < F.col("rate"))
+        .select("doc_id", "lang", F.col("sample_key").cast("long").alias("sample_key"))
+    )
+
+
+CONTAM_MIN_OVERLAP = 3  # shingles shared with the eval set ⇒ contaminated
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark-contamination screen: word-3-gram overlap between every
+    corpus doc and a held-out eval set (docs with doc_id ≡ 0 mod 97 stand
+    in for the benchmark). The eval shingle set is tiny → broadcast-joined
+    against the exploded corpus shingles; output = docs sharing ≥ 1 shingle
+    with the eval set, flagged contaminated at ≥ CONTAM_MIN_OVERLAP. The
+    shape (small-set broadcast semi-join over an exploded n-gram stream) is
+    the decontamination pass every training pipeline runs at full scale."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        d.filter(is_eval)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = d.filter(~is_eval).select("doc_id", F.explode("sh").alias("s"))
+    hits = corpus.join(F.broadcast(eval_sh), "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return hits.select(
+        "doc_id",
+        "n_overlap",
+        F.when(F.col("n_overlap") >= CONTAM_MIN_OVERLAP, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
 QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_quality_score": q_doc_quality_score,
@@ -525,6 +612,9 @@ QUERIES = {
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_cosine_neardup": q_emb_cosine_neardup,
     "emb_ivf_topk": q_emb_ivf_topk,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_contamination": q_doc_contamination,
 }
 
 _W = _WORDS_SQL.format(c="text")
@@ -798,4 +888,59 @@ SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
                             ORDER BY cos DESC, neighbor_id ASC) AS rk
   FROM pairs
 ) WHERE rk <= 3
+"""
+
+# transitive closure of the LSH candidate pairs via recursive CTE — exact
+# at oracle scale; the Spark side is the O(log n)-round star algorithm
+ORACLE_SQL["doc_dedup_clusters"] = f"""
+WITH RECURSIVE cand AS ({ORACLE_SQL["doc_minhash_lsh"]}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u
+),
+lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+)
+SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
+       CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS INT)
+         AS is_canonical
+FROM lab JOIN sizes USING (cluster_id)
+"""
+
+ORACLE_SQL["doc_stratified_sample"] = f"""
+SELECT doc_id, lang,
+       CAST((doc_id * {SAMPLE_A}) % 1000 AS BIGINT) AS sample_key
+FROM documents
+WHERE (doc_id * {SAMPLE_A}) % 1000 <
+      (CASE {" ".join(f"WHEN lang = '{s}' THEN {r}" for s, r in SAMPLE_RATES.items())}
+       ELSE {SAMPLE_DEFAULT_RATE} END)
+"""
+
+ORACLE_SQL["doc_contamination"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL.format(w=_W)} AS shingles FROM documents
+),
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 != 0
+),
+hits AS (
+  SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM corpus JOIN eval_sh USING (s) GROUP BY 1
+)
+SELECT doc_id, n_overlap,
+       CAST(CASE WHEN n_overlap >= {CONTAM_MIN_OVERLAP} THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM hits
 """
