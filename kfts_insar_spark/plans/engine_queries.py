@@ -18,6 +18,7 @@ from ..operators.rollup import (
     DAY_SECONDS,
     HOUR_SECONDS,
     RAW_SECONDS,
+    TIER_COLS,
     rollup_cascade,
     rollup_raw,
     tier_sql,
@@ -258,6 +259,61 @@ def q_kf_resume_consistency(spark, sf_dir):
     )
 
 
+def q_seq_tiered_readthrough(spark, sf_dir):
+    """The retention-engine READ path: one continuous series routed across
+    the tiers by age — raw (300 s) for the newest day, 1 h for the previous
+    four days, 1 d for everything older. This is the query shape a
+    downsample+retention engine exists to serve (recent data at full
+    resolution, history pre-aggregated), and the reason raw partitions can
+    be dropped after the retention window (pipeline.expire_raw_before)
+    without losing the queryable series. Band cuts are day-aligned so no
+    1 h/1 d bucket straddles a boundary — the union is disjoint and
+    complete. ONE bounds action; everything else is grouped aggregation +
+    unionByName."""
+    raw = rollup_raw(_seq(spark, sf_dir))
+    hi = raw.agg(F.max("bucket_es")).first()[0]
+    c1 = (int(hi) // DAY_SECONDS) * DAY_SECONDS  # start of the newest day
+    c2 = c1 - 4 * DAY_SECONDS
+    h1 = rollup_cascade(raw, HOUR_SECONDS)
+    d1 = rollup_cascade(h1, DAY_SECONDS)
+    pick = lambda df, tier, cond: df.filter(cond).select(  # noqa: E731
+        F.lit(tier).alias("tier"), *TIER_COLS
+    )
+    return (
+        pick(raw, "raw", F.col("bucket_es") >= c1)
+        .unionByName(
+            pick(h1, "1h", (F.col("bucket_es") >= c2) & (F.col("bucket_es") < c1))
+        )
+        .unionByName(pick(d1, "1d", F.col("bucket_es") < c2))
+    )
+
+
+VOCAB_TOPK = 50
+
+
+def q_tok_vocab_topk(spark, sf_dir):
+    """Token-vocabulary statistics: explode every token of every sequence
+    and rank the VOCAB_TOPK most frequent token ids (ties by token id) —
+    the Zipf head a tokenizer/data-mix audit looks at. The plan is the
+    at-scale shape: generate/scan → posexplode → partial hash aggregate
+    map-side (the shuffle moves ≤ |vocab| partials per task, not the 10^9
+    exploded rows) → final agg → a single top-k."""
+    from pyspark.sql import Window as W
+
+    seq = _seq(spark, sf_dir)
+    freq = (
+        seq.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= VOCAB_TOPK)
+        .select("rk", "tok", "n")
+    )
+
+
 def _oracle_seq(with_tokens: bool = False) -> str:
     return sequences_sql(ORACLE_N_DOCS, with_tokens=with_tokens)
 
@@ -273,6 +329,8 @@ QUERIES = {
     "kf_gapfill_phases": q_kf_gapfill_phases,
     "kf_innovation_stats": q_kf_innovation_stats,
     "kf_resume_consistency": q_kf_resume_consistency,
+    "seq_tiered_readthrough": q_seq_tiered_readthrough,
+    "tok_vocab_topk": q_tok_vocab_topk,
 }
 
 ORACLE_SQL = {
@@ -334,5 +392,53 @@ FROM raw GROUP BY 1
 """,
     "kf_resume_consistency": """
 SELECT CAST(0 AS BIGINT) AS n_mismatch
+""",
+    "seq_tiered_readthrough": f"""
+WITH seq AS ({_oracle_seq()}),
+raw AS (
+  SELECT source,
+         CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT) AS bucket_es,
+         CAST(count(*) AS BIGINT)   AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         CAST(min(n_tok) AS INT)    AS min_tok,
+         CAST(max(n_tok) AS INT)    AS max_tok
+  FROM seq GROUP BY 1, 2
+),
+g AS (SELECT (max(bucket_es) // {DAY_SECONDS}) * {DAY_SECONDS} AS c1 FROM raw),
+h1 AS (
+  SELECT source,
+         CAST((bucket_es // {HOUR_SECONDS}) * {HOUR_SECONDS} AS BIGINT) AS bucket_es,
+         CAST(sum(n_docs) AS BIGINT)  AS n_docs,
+         CAST(sum(sum_tok) AS BIGINT) AS sum_tok,
+         CAST(min(min_tok) AS INT)    AS min_tok,
+         CAST(max(max_tok) AS INT)    AS max_tok
+  FROM raw GROUP BY 1, 2
+),
+d1 AS (
+  SELECT source,
+         CAST((bucket_es // {DAY_SECONDS}) * {DAY_SECONDS} AS BIGINT) AS bucket_es,
+         CAST(sum(n_docs) AS BIGINT)  AS n_docs,
+         CAST(sum(sum_tok) AS BIGINT) AS sum_tok,
+         CAST(min(min_tok) AS INT)    AS min_tok,
+         CAST(max(max_tok) AS INT)    AS max_tok
+  FROM h1 GROUP BY 1, 2
+)
+SELECT 'raw' AS tier, source, bucket_es, n_docs, sum_tok, min_tok, max_tok
+FROM raw WHERE bucket_es >= (SELECT c1 FROM g)
+UNION ALL
+SELECT '1h', source, bucket_es, n_docs, sum_tok, min_tok, max_tok
+FROM h1 WHERE bucket_es >= (SELECT c1 - 4 * {DAY_SECONDS} FROM g)
+         AND bucket_es < (SELECT c1 FROM g)
+UNION ALL
+SELECT '1d', source, bucket_es, n_docs, sum_tok, min_tok, max_tok
+FROM d1 WHERE bucket_es < (SELECT c1 - 4 * {DAY_SECONDS} FROM g)
+""",
+    "tok_vocab_topk": f"""
+WITH seq AS ({sequences_sql(ORACLE_N_DOCS, with_tokens=True)}),
+ex AS (SELECT unnest(tokens) AS tok FROM seq),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1)
+SELECT CAST(rk AS INT) AS rk, tok, n FROM (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM freq
+) WHERE rk <= {VOCAB_TOPK}
 """,
 }
