@@ -279,6 +279,22 @@ def main() -> None:
     timed("q_hourly", lambda: q_events_hourly_rollup(spark, SF_DIR).count())
     timed("q_sessionize", lambda: q_events_sessionize(spark, SF_DIR).count())
 
+    # fixed single-core hardware control (pure-Python ALU loop, zero Spark):
+    # a weather gauge for this host's 3-4x hypervisor swings. Compare
+    # across rounds: engine seconds scale ~linearly with this number when
+    # the host (not the code) changed. Run twice (suite start would race
+    # JVM warmup), min reported.
+    def _alu_control() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s = 7
+            for i in range(2_000_000):
+                s = (s * 48271 + i) % 2147483647
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (tiers+codec+kalman+relational)",
@@ -307,6 +323,9 @@ def main() -> None:
         "kalman_points_per_sec": round(
             (kf_docs * M) / timings["q_kalman"], 1
         ),
+        # single-core ALU reference time (see _alu_control comment):
+        # normalizes engine seconds across this host's hypervisor weather
+        "host_alu_control_sec": _alu_control(),
         "rows": counts,
     }
     spark.stop()
