@@ -28,7 +28,7 @@ Jobs:
 - fingerprint: read sequences → higher-order array fold → sum
 
 Usage:
-  python tools/bench_scaling.py            # N=8 vs 4N=32 → BENCH_SCALING.md
+  python tools/bench_scaling.py            # N=8 vs 4N=32 → BENCH_SCALING_auto.md
   python tools/bench_scaling.py --job 8    # child mode (internal)
 """
 
@@ -218,7 +218,7 @@ def main() -> None:
     print(json.dumps(report, indent=2))
 
     kf_pts = KF_DOCS * M
-    with open("BENCH_SCALING.md", "w") as f:
+    with open("BENCH_SCALING_auto.md", "w") as f:  # raw auto-report; BENCH_SCALING.md is the curated multi-run narrative
         f.write(
             "# Scaling evidence — same job, two parallelism levels\n\n"
             "Per BASELINE.md sandbox protocol (no real cluster): identical "
