@@ -314,6 +314,63 @@ def q_tok_vocab_topk(spark, sf_dir):
     )
 
 
+PACK_BIN = 4096  # training-example capacity (tokens)
+PACK_PART = 2048  # docs per scan partition (two-level prefix sum)
+
+
+def q_seq_pack_bins(spark, sf_dir):
+    """Sequence packing — the concat-and-chunk step that turns documents
+    into fixed-capacity training examples: documents are concatenated in
+    deterministic (source, doc_id) order and split at PACK_BIN token
+    boundaries; each doc reports the bin its first token lands in and the
+    offset within that bin.
+
+    Scale shape: a naive ``Window.partitionBy(source).orderBy(doc_id)``
+    running sum puts each source's ENTIRE corpus through one task (the
+    same 5-task ceiling the KF stage had). This uses the textbook
+    distributed scan instead: doc_id order is range-split into PACK_PART-
+    doc partitions, a window computes the LOCAL prefix sum within each
+    (source, part), a tiny per-part total table is prefix-summed and
+    broadcast back, and global offset = part offset + local prefix. The
+    only full-data shuffle is the per-(source, part) window — ~n_docs/2048
+    independent keys."""
+    from pyspark.sql import Window as W
+
+    seq = _seq(spark, sf_dir)
+    part = F.floor(F.substring("doc_id", 4, 8).cast("long") / PACK_PART).alias(
+        "part"
+    )
+    d = seq.select("source", "doc_id", "n_tok", part)
+    w_local = W.partitionBy("source", "part").orderBy("doc_id")
+    local = d.withColumn(
+        "local_end", F.sum("n_tok").over(w_local).cast("long")
+    )
+    w_parts = (
+        W.partitionBy("source")
+        .orderBy("part")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("source", "part")
+        .agg(F.sum("n_tok").cast("long").alias("part_tok"))
+        .withColumn(
+            "part_off", F.coalesce(F.sum("part_tok").over(w_parts), F.lit(0))
+        )
+        .select("source", "part", "part_off")
+    )
+    start = F.col("part_off") + F.col("local_end") - F.col("n_tok")
+    return (
+        local.join(F.broadcast(offsets), ["source", "part"])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.floor(start / PACK_BIN).cast("long").alias("bin_id"),
+            (start % PACK_BIN).cast("long").alias("bin_offset"),
+        )
+    )
+
+
 def _oracle_seq(with_tokens: bool = False) -> str:
     return sequences_sql(ORACLE_N_DOCS, with_tokens=with_tokens)
 
@@ -331,6 +388,7 @@ QUERIES = {
     "kf_resume_consistency": q_kf_resume_consistency,
     "seq_tiered_readthrough": q_seq_tiered_readthrough,
     "tok_vocab_topk": q_tok_vocab_topk,
+    "seq_pack_bins": q_seq_pack_bins,
 }
 
 ORACLE_SQL = {
@@ -440,5 +498,20 @@ freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1)
 SELECT CAST(rk AS INT) AS rk, tok, n FROM (
   SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM freq
 ) WHERE rk <= {VOCAB_TOPK}
+""",
+    # oracle: plain single-window running sum — equals the engine's
+    # two-level distributed scan exactly (integer arithmetic)
+    "seq_pack_bins": f"""
+WITH seq AS ({_oracle_seq()}),
+sums AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+  FROM seq
+)
+SELECT source, doc_id, n_tok,
+       CAST(start // {PACK_BIN} AS BIGINT) AS bin_id,
+       CAST(start % {PACK_BIN} AS BIGINT) AS bin_offset
+FROM sums
 """,
 }

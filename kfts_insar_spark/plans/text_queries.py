@@ -599,6 +599,28 @@ def q_doc_contamination(spark, sf_dir):
     )
 
 
+def q_emb_dedup_clusters(spark, sf_dir):
+    """Embedding-space dedup clusters: the cosine-near-dup pairs (LSH-
+    pruned, exactly verified) closed under transitivity — same connected-
+    components operator as the text path, over the embedding modality."""
+    from ..operators.concomp import connected_components
+
+    pairs = q_emb_cosine_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        F.when(F.col("node") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
 QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_quality_score": q_doc_quality_score,
@@ -615,6 +637,7 @@ QUERIES = {
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_contamination": q_doc_contamination,
+    "emb_dedup_clusters": q_emb_dedup_clusters,
 }
 
 _W = _WORDS_SQL.format(c="text")
@@ -912,6 +935,32 @@ sizes AS (
 )
 SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
        CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS INT)
+         AS is_canonical
+FROM lab JOIN sizes USING (cluster_id)
+"""
+
+ORACLE_SQL["emb_dedup_clusters"] = f"""
+WITH RECURSIVE cand AS (
+  SELECT vec_a, vec_b FROM ({ORACLE_SQL["emb_cosine_neardup"]})
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM cand
+  UNION
+  SELECT vec_b, vec_a FROM cand
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u
+),
+lab AS (
+  SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+)
+SELECT lab.vec_id, lab.cluster_id, sizes.cluster_size,
+       CAST(CASE WHEN lab.vec_id = lab.cluster_id THEN 1 ELSE 0 END AS INT)
          AS is_canonical
 FROM lab JOIN sizes USING (cluster_id)
 """
