@@ -51,37 +51,53 @@ def bucket(es_col, width: int):
     return (F.floor(F.col(es_col) / F.lit(width)) * F.lit(width)).cast("long")
 
 
-def rollup_raw(seq: DataFrame, salt_buckets: int = 0) -> DataFrame:
+def rollup_raw(
+    seq: DataFrame, salt_buckets: int = 0, with_max_ingest: bool = False
+) -> DataFrame:
     """Base table → raw (300 s) tier.
 
     With ``salt_buckets > 0`` the aggregation runs in two stages over
     (source, bucket, salt) then (source, bucket) — the explicit skew treatment
     demanded by BASELINE.json north_rule ("hash on doc_id with salting for
     skewed sources"). Salt derives from doc_id hash → deterministic.
+
+    ``with_max_ingest`` adds ``max_ies`` (the newest ingest_es inside the
+    bucket). The pipeline derives its watermark from this column's parquet
+    footer statistics on the files it actually committed — one scan, no
+    separate bounds action, and no window for a live source to slip rows
+    between a bounds read and the write.
     """
     base = seq.select(
         F.col("source"),
         bucket("ingest_es", RAW_SECONDS).alias("bucket_es"),
         F.col("n_tok"),
         F.col("doc_id"),
+        F.col("ingest_es"),
     )
+    aggs = _aggs()
+    if with_max_ingest:
+        aggs = aggs + [F.max("ingest_es").cast("long").alias("max_ies")]
+    cols = TIER_COLS + (["max_ies"] if with_max_ingest else [])
     if salt_buckets > 0:
         partial = (
             base.withColumn(
                 "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
             )
             .groupBy("source", "bucket_es", "salt")
-            .agg(*_aggs())
+            .agg(*aggs)
         )
-        out = partial.groupBy("source", "bucket_es").agg(
+        merge = [
             F.sum("sum_tok").cast("long").alias("sum_tok"),
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.min("min_tok").cast("int").alias("min_tok"),
             F.max("max_tok").cast("int").alias("max_tok"),
-        )
+        ]
+        if with_max_ingest:
+            merge.append(F.max("max_ies").cast("long").alias("max_ies"))
+        out = partial.groupBy("source", "bucket_es").agg(*merge)
     else:
-        out = base.groupBy("source", "bucket_es").agg(*_aggs())
-    return out.select(*TIER_COLS)
+        out = base.groupBy("source", "bucket_es").agg(*aggs)
+    return out.select(*cols)
 
 
 def rollup_series(seq: DataFrame, n_shards: int = 32) -> DataFrame:

@@ -95,34 +95,35 @@ class TierPipeline:
         # processed (raw watermark advanced) and those tiers would stay
         # permanently short of it.
         self._heal(spark, seq, wm)
-        bounds = (
-            seq.filter(F.col("ingest_es") > F.lit(wm))
-            .agg(F.max("ingest_es").alias("hi"), F.count(F.lit(1)).alias("n"))
-            .first()
-        )
-        if bounds.n == 0:
-            return {"status": "noop", "watermark_es": wm}
-        new_wm = int(bounds.hi)
-        # bounded on BOTH sides: a live source may gain rows between the
-        # bounds action and the write action — an open upper bound would
-        # write those rows now AND reprocess them next run (duplicates)
-        fresh = seq.filter(
-            (F.col("ingest_es") > F.lit(wm)) & (F.col("ingest_es") <= F.lit(new_wm))
-        )
-
         # ---- raw tier: append-only (each 300 s bucket is born complete).
-        # Row counts / affected partitions for every stage come from the
-        # parquet footers recorded in the manifest — each producing plan
-        # executes exactly once (the write), never again for metrics.
-        raw_inc = rollup_raw(fresh, salt_buckets=self.salt_buckets).withColumn(
-            "pday", _pday()
-        )
+        # ONE scan of the base table: the increment is aggregated and
+        # written in the same job, and the new watermark derives from the
+        # max-ingest footer statistics of the files actually committed —
+        # there is no separate bounds action, so a live source cannot slip
+        # rows between a bounds read and the write (they simply land in the
+        # next run), and the watermark describes exactly the published
+        # data. Row counts / affected partitions for every stage likewise
+        # come from the manifest metadata — each producing plan executes
+        # exactly once (the write), never again for metrics.
+        fresh = seq.filter(F.col("ingest_es") > F.lit(wm))
+        raw_inc = rollup_raw(
+            fresh, salt_buckets=self.salt_buckets, with_max_ingest=True
+        ).withColumn("pday", _pday())
         sid = self.raw.append(
             raw_inc,
             partition_by=["pday"],
-            properties={"watermark_es": new_wm},
             coalesce=4,  # optimize-write: tiers are small aggregates
+            stats_cols=["max_ies"],
+            properties_fn=lambda entries: {
+                "watermark_es": max(
+                    int(e["stats"]["max_ies"][1]) for e in entries
+                )
+            },
+            skip_if_empty=True,
         )
+        if sid is None:
+            return {"status": "noop", "watermark_es": wm}
+        new_wm = int(self.raw.property("watermark_es", wm))
         n_raw = self.raw.last_commit_rows()
         days = self.raw.last_commit_partitions("pday")
         self.log.record(

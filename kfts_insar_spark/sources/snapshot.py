@@ -79,6 +79,7 @@ class SnapshotTable:
         sid: int,
         partition_by: list[str] | None,
         coalesce: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write df under data/<sid>/ and return file entries with partition
         values, row counts and sizes (per-file lineage). ``coalesce`` is the
@@ -129,15 +130,39 @@ class SnapshotTable:
 
         def entry(item):
             full, parts = item
-            return {
+            md = pq.ParquetFile(full).metadata
+            e = {
                 "path": full,
                 "partition": parts,
                 "bytes": os.path.getsize(full),
                 # row count from the parquet footer: downstream stages
                 # consume counts/partitions from metadata instead of
                 # re-running the producing plan
-                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "rows": md.num_rows,
             }
+            if stats_cols:
+                # per-file column min/max from the footer statistics
+                # (Iceberg manifest column stats): zero extra jobs; lets
+                # callers derive watermarks/prune from committed metadata
+                names = list(md.schema.names)
+                stats: dict = {}
+                for col in stats_cols:
+                    if col not in names:
+                        continue
+                    i = names.index(col)
+                    mn = mx = None
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            mn = mx = None
+                            break
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    if mn is not None:
+                        stats[col] = [mn, mx]
+                if stats:
+                    e["stats"] = stats
+            return e
 
         # footer reads are independent filesystem ops — serial driver-side
         # reading was the measured bulk of the per-commit fixed cost
@@ -222,12 +247,29 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         properties: dict | None = None,
         coalesce: int | None = None,
-    ) -> int:
+        stats_cols: list[str] | None = None,
+        properties_fn=None,
+        skip_if_empty: bool = False,
+    ) -> int | None:
+        """Append ``df`` as a new snapshot.
+
+        ``stats_cols`` records per-file column min/max (footer statistics)
+        in the manifest. ``properties_fn(entries) -> dict`` computes commit
+        properties FROM the written files' metadata — e.g. a watermark from
+        a max-ingest stat: the property then describes exactly the data
+        this commit published, with no second scan of the source and no
+        read-then-write race. ``skip_if_empty`` returns None (no commit,
+        no snapshot) when the increment produced zero rows."""
         sid, parent = self._next_sid()
-        new = self._write_files(df, sid, partition_by, coalesce)
+        new = self._write_files(df, sid, partition_by, coalesce, stats_cols)
+        if skip_if_empty and sum(e["rows"] for e in new) == 0:
+            return None
         self.last_commit_files = new
+        props = dict(properties or {})
+        if properties_fn is not None:
+            props.update(properties_fn(new))
         prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
-        return self._commit(sid, prev + new, "append", properties, parent)
+        return self._commit(sid, prev + new, "append", props, parent)
 
     def overwrite_partitions(
         self,

@@ -166,7 +166,7 @@ def test_heal_after_crash_between_commits(spark, seq, tmp_path_factory):
     wm = int(pipe.raw.property("watermark_es"))
     fresh = seq.filter(F.col("ingest_es") > wm)
     hi = int(fresh.agg(F.max("ingest_es")).first()[0])
-    inc = rollup_raw(fresh).withColumn(
+    inc = rollup_raw(fresh, with_max_ingest=True).withColumn(
         "pday",
         F.date_format(F.timestamp_seconds(F.col("bucket_es")), "yyyy-MM-dd"),
     )
@@ -262,3 +262,36 @@ def test_concurrent_commit_detected(spark, seq, tmp_path):
     # table still reads writer B's state: 20 rows, manifest intact
     assert t.read(spark).count() == 20
     assert t.manifest() is not None
+
+
+def test_append_stats_properties_and_empty_skip(spark, tmp_path):
+    """Manifest column stats (footer min/max), watermark-from-stats via
+    properties_fn, and skip_if_empty semantics."""
+    from kfts_insar_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(100).selectExpr(
+        "id", "id + 1000 AS ies", "CAST(id % 3 AS STRING) AS k"
+    )
+    sid = t.append(
+        df,
+        partition_by=["k"],
+        stats_cols=["ies"],
+        properties_fn=lambda es: {
+            "watermark_es": max(int(e["stats"]["ies"][1]) for e in es)
+        },
+    )
+    assert sid == 0
+    # stats recorded per file; global max == true max
+    entries = t.manifest()["files"]
+    assert all("ies" in e.get("stats", {}) for e in entries)
+    assert max(int(e["stats"]["ies"][1]) for e in entries) == 1099
+    assert min(int(e["stats"]["ies"][0]) for e in entries) == 1000
+    assert int(t.property("watermark_es")) == 1099
+
+    # empty increment: no commit, no snapshot advance, properties intact
+    empty = df.filter("id < 0")
+    assert t.append(empty, partition_by=["k"], skip_if_empty=True) is None
+    assert t.current_snapshot_id() == 0
+    assert int(t.property("watermark_es")) == 1099
+    assert t.read(spark).count() == 100
