@@ -202,8 +202,21 @@ def main() -> None:
         res = pipe.run(spark, seq_all)
         return res["rows"].get("gapfilled", 0)
 
+    # the pure-noop resumed run (same input, everything committed): the
+    # fixed floor every resume pays — property reads, heal checks, the
+    # empty-increment probe. incr − noop is the data-proportional part.
+    def pipeline_noop(td):
+        pipe = TierPipeline(
+            td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
+        )
+        res = pipe.run(spark, seq_all)
+        assert res["status"] == "noop", res
+        return 0
+
     try:
         timed("q_pipeline_incr", pipeline_incr, mk=mk_incr_dir)
+        noop_dirs = iter(incr_dirs)
+        timed("q_pipeline_noop", pipeline_noop, mk=lambda: next(noop_dirs))
     finally:
         for td in incr_dirs:
             shutil.rmtree(td, ignore_errors=True)
@@ -310,8 +323,14 @@ def main() -> None:
         # distinct (source, shard) sub-series carrying KF state — the
         # gap-fill stage's parallelism unit (round-1 ceiling was 5)
         "kf_stage_series": kf_state_series,
-        # resumed full-input run over a 90%-committed pipeline vs the
-        # cold full run — incremental cost ∝ increment, not history
+        # resumed full-input run over a 90%-committed pipeline vs the cold
+        # full run. At bench scale BOTH are commit-fixed-cost-bound (~7
+        # snapshot commits each; the resume adds the overlap-stitch joins)
+        # so the ratio hovers near 1; the scale property — incremental scan
+        # pruned to the resume window via manifest stats, kernel starting
+        # at k_done — is structural, and q_pipeline_noop shows the pure
+        # resume probe floor (~0.4 s: property reads + one empty-increment
+        # scan) that a no-new-data run pays.
         "incremental_vs_full": round(
             timings["q_pipeline_incr"] / timings["q_pipeline_kf"], 3
         ),

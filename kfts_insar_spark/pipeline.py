@@ -167,7 +167,11 @@ class TierPipeline:
             self.kf_shards,
         ).withColumn("pday", _pday())
         sid = self.series.append(
-            inc, partition_by=["pday"], properties={"watermark_es": upto}, coalesce=4
+            inc,
+            partition_by=["pday"],
+            properties={"watermark_es": upto},
+            coalesce=4,
+            stats_cols=["bucket_es"],
         )
         self.log.record(
             "tier_series",
@@ -328,8 +332,14 @@ class TierPipeline:
             import datetime as dt
 
             cut_day = dt.datetime.utcfromtimestamp(cover_es).strftime("%Y-%m-%d")
+            # two metadata pruning levels before the scan: partition (pday)
+            # and footer bucket_es max — a file whose newest bucket is
+            # older than the resume window never opens
             scan = self.series.read(
-                spark, where=lambda p: p.get("pday", "") >= cut_day
+                spark,
+                where=lambda p: p.get("pday", "") >= cut_day,
+                stats_where=lambda s: "bucket_es" not in s
+                or int(s["bucket_es"][1]) >= int(cover_es),
             ).filter(F.col("bucket_es") >= F.lit(int(cover_es)))
 
         # doc-wide SPARSE layout: one row per sub-series with sorted
@@ -435,7 +445,11 @@ class TierPipeline:
                 # partitions this commit rewrites (cold-started sub-series
                 # emit their full history, touching older days too)
                 keep_src = self.gap.read(
-                    spark, where=lambda p: p.get("pday", "") in touched
+                    spark,
+                    where=lambda p: p.get("pday", "") in touched,
+                    # only files that can hold rows below the overlap window
+                    stats_where=lambda s: "bucket_es" not in s
+                    or int(s["bucket_es"][0]) < int(cover_min),
                 )
                 if keep_src is not None:
                     keep_old = keep_src.filter(
@@ -443,7 +457,11 @@ class TierPipeline:
                     ).select(*out_cols)
                     rows = keep_old.unionByName(rows)
             sid = self.gap.overwrite_partitions(
-                rows, ["pday"], properties={"watermark_es": wm}, coalesce=4
+                rows,
+                ["pday"],
+                properties={"watermark_es": wm},
+                coalesce=4,
+                stats_cols=["bucket_es"],
             )
             n_rows = self.gap.last_commit_rows()
             if rows_cached is not None:

@@ -277,11 +277,12 @@ class SnapshotTable:
         partition_by: list[str],
         properties: dict | None = None,
         coalesce: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Replace exactly the partitions present in ``df`` (Iceberg dynamic
         partition overwrite)."""
         sid, parent = self._next_sid()
-        new = self._write_files(df, sid, partition_by, coalesce)
+        new = self._write_files(df, sid, partition_by, coalesce, stats_cols)
         self.last_commit_files = new
         touched = {tuple(sorted(e["partition"].items())) for e in new}
         prev = (self.manifest(parent) or {}).get("files", []) if parent is not None else []
@@ -298,9 +299,10 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         properties: dict | None = None,
         coalesce: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         sid, parent = self._next_sid()
-        new = self._write_files(df, sid, partition_by, coalesce)
+        new = self._write_files(df, sid, partition_by, coalesce, stats_cols)
         self.last_commit_files = new
         return self._commit(sid, new, "overwrite_all", properties, parent)
 
@@ -401,10 +403,15 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         where=None,
+        stats_where=None,
     ) -> DataFrame | None:
         """Read a snapshot as ONE parquet scan. ``where`` (a callable on
         the per-file partition dict) prunes FILES from the manifest before
         the scan — metadata-only partition pruning, the Iceberg equivalent.
+        ``stats_where`` (a callable on the per-file column-stats dict,
+        ``{col: [min, max]}``) additionally prunes on the footer statistics
+        recorded at write time (Iceberg manifest min/max pruning); files
+        written without stats are conservatively kept.
 
         Partition columns live in directory names; they are recovered from
         the file path with ``input_file_name()`` inside the single scan —
@@ -416,6 +423,12 @@ class SnapshotTable:
         entries = m["files"]
         if where is not None:
             entries = [e for e in entries if where(e["partition"])]
+        if stats_where is not None:
+            entries = [
+                e
+                for e in entries
+                if "stats" not in e or stats_where(e["stats"])
+            ]
         if not entries:
             return None
         from pyspark.sql import functions as F
