@@ -398,6 +398,45 @@ class SnapshotTable:
         }
 
     # ------------------------------------------------------------- reads
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int | None,
+        until_snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Read only the rows ADDED after ``after_snapshot_id`` (exclusive)
+        up to ``until_snapshot_id`` (inclusive; default current) — the
+        Iceberg incremental-scan analog. File-level: an append's new files
+        are exactly its new rows; an overwritten partition's files count as
+        added in the overwriting snapshot (same semantics as Iceberg's
+        append-only incremental read extended to replaced partitions).
+        ``after_snapshot_id=None`` reads everything up to ``until``.
+        Downstream consumers (a feature-extraction job, a replication
+        stream) process each commit's delta without rescanning the table.
+        """
+        until = (
+            until_snapshot_id
+            if until_snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        if until is None:
+            return None
+        new = self.manifest(until)["files"]
+        if after_snapshot_id is not None:
+            old = {e["path"] for e in self.manifest(after_snapshot_id)["files"]}
+            new = [e for e in new if e["path"] not in old]
+        if not new:
+            return None
+        from pyspark.sql import functions as F
+
+        keys = sorted({k for e in new for k in e["partition"]})
+        df = spark.read.parquet(*[e["path"] for e in new])
+        for k in keys:
+            df = df.withColumn(
+                k, F.regexp_extract(F.input_file_name(), f"{k}=([^/]+)", 1)
+            )
+        return df
+
     def read(
         self,
         spark: SparkSession,

@@ -295,3 +295,28 @@ def test_append_stats_properties_and_empty_skip(spark, tmp_path):
     assert t.current_snapshot_id() == 0
     assert int(t.property("watermark_es")) == 1099
     assert t.read(spark).count() == 100
+
+
+def test_read_incremental_between_snapshots(spark, tmp_path):
+    """Iceberg incremental-scan analog: each commit's delta is readable
+    without rescanning the table; overwritten partitions count as added."""
+    from kfts_insar_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id", "CAST(id % 2 AS STRING) AS k"
+    )
+    s0 = t.append(mk(0, 10), partition_by=["k"])
+    s1 = t.append(mk(10, 25), partition_by=["k"])
+    inc = t.read_incremental(spark, after_snapshot_id=s0, until_snapshot_id=s1)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 25))
+    # everything-up-to form
+    assert t.read_incremental(spark, None, s0).count() == 10
+    # an overwrite's files are that snapshot's delta
+    s2 = t.overwrite_partitions(
+        mk(100, 104).filter("k = '0'"), ["k"]
+    )
+    inc2 = t.read_incremental(spark, after_snapshot_id=s1)
+    got = sorted(r.id for r in inc2.collect())
+    assert got == [100, 102]
+    assert t.read_incremental(spark, s2) is None
