@@ -46,6 +46,20 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--base", required=True)
     rp.add_argument("--days", type=int, required=True)
 
+    mp = sub.add_parser(
+        "maintain", help="compact small files + expire old snapshots, all tiers"
+    )
+    mp.add_argument("--base", required=True)
+    mp.add_argument("--keep-snapshots", type=int, default=2)
+    mp.add_argument("--target-mb", type=int, default=128)
+
+    tp = sub.add_parser(
+        "readthrough",
+        help="serve the continuous series routed across raw/1h/1d by age",
+    )
+    tp.add_argument("--base", required=True)
+    tp.add_argument("--out", help="output parquet path (default: show count)")
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -87,6 +101,55 @@ def main(argv: list[str] | None = None) -> int:
         wm = int(pipe.raw.property("watermark_es", 0))
         sid = pipe.expire_raw_before(wm - args.days * 86400)
         print(json.dumps({"snapshot_id": sid}))
+    elif args.cmd == "maintain":
+        from .pipeline import TierPipeline
+
+        pipe = TierPipeline(args.base)
+        out = {}
+        for tier, tbl in (
+            ("raw", pipe.raw),
+            ("1h", pipe.h1),
+            ("1d", pipe.d1),
+            ("compressed", pipe.comp),
+            ("series", pipe.series),
+            ("gapfilled", pipe.gap),
+        ):
+            c = tbl.compact(spark, target_bytes=args.target_mb * 1024 * 1024)
+            v = tbl.vacuum(keep_last=args.keep_snapshots)
+            out[tier] = {**c, **v}
+        print(json.dumps(out))
+    elif args.cmd == "readthrough":
+        from pyspark.sql import functions as F
+
+        from .operators.rollup import DAY_SECONDS, HOUR_SECONDS, TIER_COLS
+        from .pipeline import TierPipeline
+
+        pipe = TierPipeline(args.base)
+        raw = pipe.read_tier(spark, "raw").select(*TIER_COLS)
+        h1 = pipe.read_tier(spark, "1h").select(*TIER_COLS)
+        d1 = pipe.read_tier(spark, "1d").select(*TIER_COLS)
+        hi = raw.agg(F.max("bucket_es")).first()[0]
+        c1 = (int(hi) // DAY_SECONDS) * DAY_SECONDS
+        c2 = c1 - 4 * DAY_SECONDS
+        pick = lambda df, tier, cond: df.filter(cond).select(  # noqa: E731
+            F.lit(tier).alias("tier"), *TIER_COLS
+        )
+        out = (
+            pick(raw, "raw", F.col("bucket_es") >= c1)
+            .unionByName(
+                pick(
+                    h1,
+                    "1h",
+                    (F.col("bucket_es") >= c2) & (F.col("bucket_es") < c1),
+                )
+            )
+            .unionByName(pick(d1, "1d", F.col("bucket_es") < c2))
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out}))
+        else:
+            print(json.dumps({"rows": out.count()}))
 
     spark.stop()
     return 0

@@ -153,16 +153,28 @@ def main() -> None:
         return
     materialize()
     results: dict[int, dict] = {}
-    for mult in (1, 4):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--mult", str(mult)],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
-        results[mult] = json.loads(line[len("RESULT "):])
+    # interleave 1×/4× rounds and keep per-(job, size) minima: this host
+    # shows multi-second one-sided stalls, so any single window can poison
+    # one size point and fake a super-linear (or super-efficient) trend
+    rounds = int(os.environ.get("SWEEP_ROUNDS", "2"))
+    for _ in range(rounds):
+        for mult in (1, 4):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mult", str(mult)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [
+                l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+            ][-1]
+            got = json.loads(line[len("RESULT "):])
+            results[mult] = (
+                {k: min(results[mult][k], got[k]) for k in got}
+                if mult in results
+                else got
+            )
 
     sizes = {
         "kalman": KF_DOCS * M,
