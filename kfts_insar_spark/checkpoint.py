@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 class CheckpointLog:
     def __init__(self, path: str):
         self.path = path
+        # pipeline stages commit (and log) from concurrent threads
+        self._lock = threading.Lock()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def record(
@@ -50,7 +53,7 @@ class CheckpointLog:
                 {"partition": json.loads(k), **v} for k, v in sorted(by_part.items())
             ],
         }
-        with open(self.path, "a") as f:
+        with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
     def entries(self) -> list[dict]:

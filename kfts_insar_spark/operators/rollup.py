@@ -112,19 +112,55 @@ def rollup_series(seq: DataFrame, n_shards: int = 32) -> DataFrame:
     (The same role the reference's pixel dimension plays for its MPI split,
     kf/readinput.py:166-212.)
     """
+    return rollup_series_partial(seq, n_shards).select(
+        "source", "shard", "bucket_es", "sum_tok", "n_docs"
+    )
+
+
+def rollup_series_partial(
+    seq: DataFrame, n_shards: int = 32, with_max_ingest: bool = False
+) -> DataFrame:
+    """Base table → shard-level partials that serve BOTH tiers of the
+    pipeline's ingest in one base scan: project to the series tier
+    (sum_tok, n_docs per (source, shard, bucket)), or merge over ``shard``
+    with :func:`merge_shard_partials` to get the raw tier exactly.
+
+    The shard key doubles as the skew salt (same deterministic doc-hash
+    the salted :func:`rollup_raw` uses), so the raw tier derived from
+    these partials IS the two-stage salted aggregation — the base table
+    is scanned once instead of once per tier (at 100 TB the base scan is
+    the dominant ingest cost; everything downstream of the partials is
+    tier-sized)."""
+    aggs = _aggs()
+    if with_max_ingest:
+        aggs = aggs + [F.max("ingest_es").cast("long").alias("max_ies")]
     return (
         seq.select(
             "source",
             F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
             bucket("ingest_es", RAW_SECONDS).alias("bucket_es"),
             F.col("n_tok"),
+            F.col("ingest_es"),
         )
         .groupBy("source", "shard", "bucket_es")
-        .agg(
-            F.sum("n_tok").cast("long").alias("sum_tok"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-        )
+        .agg(*aggs)
     )
+
+
+def merge_shard_partials(partial: DataFrame, with_max_ingest: bool = False) -> DataFrame:
+    """(source, shard, bucket) partials → the raw tier rows (exact: all
+    tier aggregates are algebraic, so the shard merge is the final stage
+    of the salted two-stage aggregation)."""
+    merge = [
+        F.sum("sum_tok").cast("long").alias("sum_tok"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("min_tok").cast("int").alias("min_tok"),
+        F.max("max_tok").cast("int").alias("max_tok"),
+    ]
+    if with_max_ingest:
+        merge.append(F.max("max_ies").cast("long").alias("max_ies"))
+    cols = TIER_COLS + (["max_ies"] if with_max_ingest else [])
+    return partial.groupBy("source", "bucket_es").agg(*merge).select(*cols)
 
 
 def rollup_cascade(tier: DataFrame, width: int) -> DataFrame:

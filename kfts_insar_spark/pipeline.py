@@ -41,9 +41,11 @@ from .operators.rollup import (
     HOUR_SECONDS,
     RAW_SECONDS,
     TIER_COLS,
+    merge_shard_partials,
     rollup_cascade,
     rollup_raw,
     rollup_series,
+    rollup_series_partial,
 )
 from .sources.snapshot import SnapshotTable
 
@@ -106,9 +108,23 @@ class TierPipeline:
         # come from the manifest metadata — each producing plan executes
         # exactly once (the write), never again for metrics.
         fresh = seq.filter(F.col("ingest_es") > F.lit(wm))
-        raw_inc = rollup_raw(
-            fresh, salt_buckets=self.salt_buckets, with_max_ingest=True
-        ).withColumn("pday", _pday())
+        # With the KF stage on, the shard-level partials serve BOTH ingest
+        # tiers from ONE base scan: raw = shard merge (exactly the salted
+        # two-stage aggregation — shard is the same doc-hash salt), series =
+        # the partials themselves. The partials are persisted, so the two
+        # commits read the SAME materialized increment — no second scan and
+        # no window for a live source to diverge the tiers.
+        partial = None
+        if self.run_gapfill:
+            partial = rollup_series_partial(
+                fresh, self.kf_shards, with_max_ingest=True
+            ).persist()
+            raw_inc = merge_shard_partials(partial, with_max_ingest=True)
+        else:
+            raw_inc = rollup_raw(
+                fresh, salt_buckets=self.salt_buckets, with_max_ingest=True
+            )
+        raw_inc = raw_inc.withColumn("pday", _pday())
         sid = self.raw.append(
             raw_inc,
             partition_by=["pday"],
@@ -122,6 +138,8 @@ class TierPipeline:
             skip_if_empty=True,
         )
         if sid is None:
+            if partial is not None:
+                partial.unpersist()
             return {"status": "noop", "watermark_es": wm}
         new_wm = int(self.raw.property("watermark_es", wm))
         n_raw = self.raw.last_commit_rows()
@@ -134,38 +152,73 @@ class TierPipeline:
         # crash between the raw and series commits heals from `seq`);
         # only needed when the KF stage runs
         if self.run_gapfill:
-            self._ingest_series(spark, seq, new_wm)
-
-        drows, dsids = self._derive_tiers(spark, days, new_wm)
+            self._ingest_series(spark, seq, new_wm, partial=partial, wm_partial=wm)
+            partial.unpersist()
 
         result = {
             "status": "ok",
             "watermark_es": new_wm,
-            "rows": {"raw": n_raw, **drows},
-            "snapshots": {"raw": sid, **dsids},
+            "rows": {"raw": n_raw},
+            "snapshots": {"raw": sid},
         }
 
-        # ---- KF gap-fill stage: state-resumable (the north_star core:
-        # Kalman predict/update state drives gap-fill of missing acquisition
-        # slots; reference update mode = T1)
-        if self.run_gapfill:
-            gres = self._run_gapfill(spark, new_wm)
+        # ---- derived tiers and the KF gap-fill stage are independent given
+        # the committed raw + series tiers (1h/1d/compressed read raw; the
+        # KF stage reads series) — run them as concurrent Spark jobs so the
+        # per-stage fixed costs (plan compile + commit) overlap. The KF
+        # stage is the north_star core (Kalman predict/update state drives
+        # gap-fill of missing acquisition slots; reference update mode = T1).
+        if self.run_gapfill and not os.environ.get("SPARK_GRAFT_SEQUENTIAL"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as ex:
+                f_tiers = ex.submit(self._derive_tiers, spark, days, new_wm)
+                f_gap = ex.submit(self._run_gapfill, spark, new_wm)
+                drows, dsids = f_tiers.result()
+                gres = f_gap.result()
             result["rows"]["gapfilled"] = gres["n_rows"]
             result["snapshots"]["gapfilled"] = gres["snapshot_id"]
+        else:
+            drows, dsids = self._derive_tiers(spark, days, new_wm)
+            if self.run_gapfill:
+                gres = self._run_gapfill(spark, new_wm)
+                result["rows"]["gapfilled"] = gres["n_rows"]
+                result["snapshots"]["gapfilled"] = gres["snapshot_id"]
+        result["rows"].update(drows)
+        result["snapshots"].update(dsids)
         return result
 
-    def _ingest_series(self, spark: SparkSession, seq: DataFrame, upto: int) -> None:
+    def _ingest_series(
+        self,
+        spark: SparkSession,
+        seq: DataFrame,
+        upto: int,
+        partial: DataFrame | None = None,
+        wm_partial: int | None = None,
+    ) -> None:
         """Append the (source, shard, 300 s bucket) sub-series increment for
-        ingest slots in (series watermark, upto] — idempotent per slot."""
+        ingest slots in (series watermark, upto] — idempotent per slot.
+
+        ``partial`` (with ``wm_partial``, the lower bound it was filtered
+        at) reuses the persisted shard partials from the raw ingest when the
+        series watermark sits exactly at that bound — the normal path after
+        healing; no second base scan. Any other alignment (crash heal with a
+        lagging series tier) falls back to a bounded scan of ``seq``."""
         wm_s = int(self.series.property("watermark_es", -1))
         if wm_s >= upto:
             return
-        inc = rollup_series(
-            seq.filter(
-                (F.col("ingest_es") > F.lit(wm_s)) & (F.col("ingest_es") <= F.lit(upto))
-            ),
-            self.kf_shards,
-        ).withColumn("pday", _pday())
+        if partial is not None and wm_partial is not None and wm_s == wm_partial:
+            inc = partial.select(
+                "source", "shard", "bucket_es", "sum_tok", "n_docs"
+            ).withColumn("pday", _pday())
+        else:
+            inc = rollup_series(
+                seq.filter(
+                    (F.col("ingest_es") > F.lit(wm_s))
+                    & (F.col("ingest_es") <= F.lit(upto))
+                ),
+                self.kf_shards,
+            ).withColumn("pday", _pday())
         sid = self.series.append(
             inc,
             partition_by=["pday"],
@@ -371,7 +424,23 @@ class TierPipeline:
             wide = wide.join(prev, "doc_id", "full")
 
         combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
+        from concurrent.futures import ThreadPoolExecutor
+
+        state_pool = ThreadPoolExecutor(1)
         try:
+            # the state commit depends only on `combined` (persisted) — run
+            # it concurrently with the explode/stitch/commit of the output
+            # tier; the two tables have independent commit state
+            f_state = state_pool.submit(
+                self.kf_state.overwrite_all,
+                combined.select("doc_id", "k_done", "idx0", "m", "P"),
+                properties={
+                    "grid_lo": lo,
+                    "k_done": m,
+                    "idx0": max(0, m - self.kf_cfg.t_sep),
+                    "watermark_es": wm,
+                },
+            )
             out = explode_kf_output(combined, t_grid)
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
@@ -468,16 +537,9 @@ class TierPipeline:
                 rows_cached.unpersist()
             # the state's idx0 is uniform across docs (grid-determined): L
             # kept params + last t_sep phases → idx0 = m − t_sep
-            self.kf_state.overwrite_all(
-                combined.select("doc_id", "k_done", "idx0", "m", "P"),
-                properties={
-                    "grid_lo": lo,
-                    "k_done": m,
-                    "idx0": max(0, m - self.kf_cfg.t_sep),
-                    "watermark_es": wm,
-                },
-            )
+            f_state.result()
         finally:
+            state_pool.shutdown(wait=True)
             combined.unpersist()
         self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
         return {"n_rows": n_rows, "snapshot_id": sid}
