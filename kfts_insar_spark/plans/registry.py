@@ -2,9 +2,9 @@
 
 from __future__ import annotations
 
-from . import advanced_queries, engine_queries, relational_queries
+from . import advanced_queries, engine_queries, relational_queries, timeseries_queries
 
-_MODULES = [engine_queries, relational_queries, advanced_queries]
+_MODULES = [engine_queries, relational_queries, advanced_queries, timeseries_queries]
 
 try:  # pass-2 modules may land later / be optional
     from . import text_queries

@@ -81,6 +81,32 @@ CHECKS = {
         [r"Window", r"BroadcastHashJoin"],
         [r"SortMergeJoin|BatchEvalPython|ArrowEvalPython"],
     ),
+    # gaps/islands: one window pass + one grouped agg, all JVM-side
+    "seq_gaps_islands": (
+        [r"Window", r"HashAggregate"],
+        [r"BatchEvalPython|ArrowEvalPython|CartesianProduct"],
+    ),
+    # interpolation fill: lattice explode + running IGNORE NULLS windows —
+    # no Python, no cartesian (lattice joins raw on an equi-key)
+    "seq_interp_fill": (
+        [r"Window", r"Generate"],
+        [r"BatchEvalPython|ArrowEvalPython|CartesianProduct"],
+    ),
+    # M4 decimation: pure algebraic agg (partial before the exchange)
+    "seq_minmax_decimate": (
+        [r"HashAggregate", r"partial_"],
+        [r"BatchEvalPython|ArrowEvalPython|Window"],
+    ),
+    # EWMA: fixed-frame window over the tier, single window pass
+    "seq_ewma": (
+        [r"Window"],
+        [r"BatchEvalPython|ArrowEvalPython|Join"],
+    ),
+    # Hampel: two rolling-median window passes, JVM percentile only
+    "seq_hampel": (
+        [r"Window"],
+        [r"BatchEvalPython|ArrowEvalPython|Join"],
+    ),
 }
 
 
