@@ -121,6 +121,111 @@ def q_doc_lang_id(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Repetition screening (the Gopher-style duplicate-n-gram quality
+    rule): per doc, word-trigram total/distinct counts, the hottest
+    trigram's frequency, and the duplicate fraction. High duplicate
+    fraction = boilerplate/spam; a real pipeline drops or downweights.
+
+    Scale: explode(trigram) → two-level agg keyed by (doc_id, trigram)
+    then doc_id — both shuffles carry doc-local keys (no hot global key,
+    unlike the cross-doc shingle join which needs the df cap)."""
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    # sequence(1, n) is DESCENDING when n < 1 — guard short docs explicitly
+    tri = F.when(F.size(w) >= 3, F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.explode(tri).alias("tri"))
+    per_tri = ex.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_tri.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_trigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_freq"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        "max_freq",
+        (
+            (F.col("n_trigrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_trigrams")
+        ).alias("dup_frac"),
+    )
+
+
+# PII patterns: plain character-class regexes only (no backrefs, no
+# lookaround) — the subset where Java regex (Spark) and RE2 (DuckDB) agree
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_DIGITRUN = r"[0-9]{7,}"
+
+
+def _pii_augment_spark(d):
+    """The synthetic corpus carries no PII — inject deterministic fake
+    contact strings from doc_id (first-matching-arm CASE, mirrored exactly
+    in the oracle) so the screen has real positives to count."""
+    did = F.col("doc_id")
+    return d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com now")),
+            )
+            .when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" server at 10."), did % 256, F.lit(".0."), did % 100,
+                    F.lit(" port"),
+                ),
+            )
+            .when(
+                did % 13 == 0,
+                F.concat(F.lit(" call 555"), did, F.lit("01234 today")),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_doc_pii_screen(spark, sf_dir):
+    """PII screening + redaction measurement: per doc, counts of email /
+    IPv4 / long-digit-run matches and the redacted text length (all three
+    patterns replaced by fixed tags) — the pre-training privacy scrub
+    stage. Pure JVM regex projection, no shuffle at all."""
+    d = _pii_augment_spark(load(spark, sf_dir, "documents"))
+    t = F.col("text2")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_DIGITRUN,
+        "<NUM>",
+    )
+    n_email = F.regexp_count(t, F.lit(_PII_EMAIL))
+    n_ipv4 = F.regexp_count(F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), F.lit(_PII_IPV4))
+    n_digit = F.regexp_count(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        F.lit(_PII_DIGITRUN),
+    )
+    return d.select(
+        "doc_id",
+        n_email.cast("int").alias("n_email"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_digit.cast("int").alias("n_digitrun"),
+        ((n_email + n_ipv4 + n_digit) > 0).alias("has_pii"),
+        F.length(red).cast("int").alias("redacted_len"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: rolling polynomial hash over all chars —
     the content-defined fingerprint used for shard-stable dedup keys."""
@@ -626,6 +731,8 @@ QUERIES = {
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii_screen": q_doc_pii_screen,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -685,6 +792,55 @@ FROM (
 """,
     "doc_fingerprint": f"""
 SELECT doc_id, CAST({_poly_hash_sql('text')} AS BIGINT) AS fp FROM documents
+""",
+    "doc_repetition": f"""
+WITH tri AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len({_W}) - 2, 0) + 1),
+           i -> {_W}[i] || ' ' || {_W}[i+1] || ' ' || {_W}[i+2])) AS tri
+  FROM documents
+),
+per_tri AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)   AS n_trigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT)   AS max_freq,
+       CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_frac
+FROM per_tri GROUP BY doc_id
+""",
+    "doc_pii_screen": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@mail.example.com now'
+           WHEN doc_id % 11 = 0
+             THEN ' server at 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                  || ' port'
+           WHEN doc_id % 13 = 0 THEN ' call 555' || doc_id || '01234 today'
+           ELSE '' END AS text2
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text2,
+         regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+r2 AS (
+  SELECT doc_id, text2, t1,
+         regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+  FROM r
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS INT)     AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{_PII_DIGITRUN}')) AS INT) AS n_digitrun,
+       len(regexp_extract_all(text2, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(t1, '{_PII_IPV4}'))
+         + len(regexp_extract_all(t2, '{_PII_DIGITRUN}')) > 0      AS has_pii,
+       CAST(length(regexp_replace(t2, '{_PII_DIGITRUN}', '<NUM>', 'g')) AS INT)
+         AS redacted_len
+FROM r2
 """,
     "doc_exact_dedup": """
 SELECT md5(text) AS fp,

@@ -81,6 +81,16 @@ CHECKS = {
         [r"Window", r"BroadcastHashJoin"],
         [r"SortMergeJoin|BatchEvalPython|ArrowEvalPython"],
     ),
+    # repetition screen: doc-local two-level agg, JVM-only
+    "doc_repetition": (
+        [r"HashAggregate", r"partial_", r"Generate"],
+        [r"BatchEvalPython|ArrowEvalPython"],
+    ),
+    # PII screen: pure regex projection — NO exchange, no Python
+    "doc_pii_screen": (
+        [r"Project"],
+        [r"Exchange|BatchEvalPython|ArrowEvalPython"],
+    ),
     # gaps/islands: one window pass + one grouped agg, all JVM-side
     "seq_gaps_islands": (
         [r"Window", r"HashAggregate"],
