@@ -166,6 +166,138 @@ def decode_features(
     return flat.mapInPandas(run, schema=schema)
 
 
+def frame_sample(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    at a fixed timestamp stride (the standard pre-training video treatment:
+    sample k frames, then run the image path on each).
+
+    The container has no video codec, so per-frame decode is the same
+    deterministic stub seeded by (payload, frame index) — the contract a
+    real decoder honors: frame count from duration, per-frame determinism,
+    (h, w, c) shape from metadata. Everything after the decode boundary is
+    batch numpy: one concatenate, one reduceat for per-frame means.
+
+    Scale: explode factor is bounded (≤ max_frames per doc) and declared
+    up front, so the output row count is predictable; the operator is a
+    narrow mapInPandas (no shuffle) and downstream feature extraction
+    reuses :func:`decode_features` on the exploded frames."""
+    schema = (
+        "doc_id long, frame_idx int, ts_ms int, payload binary, "
+        "width int, height int, mean_intensity double"
+    )
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_idx, out_ts, out_pay, out_w, out_h = [], [], [], [], [], []
+            segs, sizes = [], []
+            for doc_id, payload, w, h, c, dur in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"],
+                pdf["n_channels"], pdf["duration_ms"],
+            ):
+                n_frames = min(max_frames, max(1, int(dur) // every_ms))
+                for k in range(n_frames):
+                    # per-frame decode ONLY (codec boundary): the stub
+                    # varies deterministically by frame via a rotated
+                    # payload — a real decoder seeks to ts_ms instead
+                    rot = k % max(1, len(payload))
+                    fbytes = bytes(payload[rot:]) + bytes(payload[:rot])
+                    img = _decode_stub(fbytes, int(w), int(h), int(c))
+                    out_doc.append(doc_id)
+                    out_idx.append(k)
+                    out_ts.append(k * every_ms)
+                    out_pay.append(img.tobytes())
+                    out_w.append(int(w))
+                    out_h.append(int(h))
+                    segs.append(img.reshape(-1))
+                    sizes.append(img.size)
+            if not segs:
+                continue
+            # batch numpy beyond the decode boundary: one concat + reduceat
+            seg = np.concatenate(segs).astype(np.int64)
+            offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(np.asarray(sizes, dtype=np.int64), out=offs[1:])
+            sums = np.add.reduceat(seg, offs[:-1])
+            means = sums / np.asarray(sizes, dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": np.asarray(out_idx, dtype=np.int32),
+                    "ts_ms": np.asarray(out_ts, dtype=np.int32),
+                    "payload": out_pay,
+                    "width": np.asarray(out_w, dtype=np.int32),
+                    "height": np.asarray(out_h, dtype=np.int32),
+                    "mean_intensity": means,
+                }
+            )
+
+    return flat.mapInPandas(run, schema=schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over opaque PCM-ish payloads: RMS energy,
+    zero-crossing count, and peak amplitude per doc. The codec boundary is
+    the same stub (payload bytes reinterpreted as a centered int16-like
+    waveform); every feature is computed across the batch with one
+    concatenate + reduceat — no per-row Python beyond the decode."""
+    schema = "doc_id long, n_samples int, rms double, zero_crossings int, peak int"
+    flat = media.select("doc_id", "payload", F.col("meta.duration_ms").alias("dur"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+            waves = []
+            sizes = np.empty(B, dtype=np.int64)
+            for i, (payload, dur) in enumerate(zip(pdf["payload"], pdf["dur"])):
+                # decode stub: tile payload to 8 samples/ms, center at 0
+                n = max(8, (int(dur) // 1000) * 8)
+                reps = -(-n // len(payload))
+                w = np.frombuffer(bytes(payload) * reps, dtype=np.uint8)[:n]
+                waves.append(w.astype(np.int64) - 128)
+                sizes[i] = n
+            seg = np.concatenate(waves)
+            offs = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(sizes, out=offs[1:])
+            sq = seg * seg
+            rms = np.sqrt(np.add.reduceat(sq, offs[:-1]) / sizes)
+            sign = (seg >= 0).astype(np.int8)
+            flips = np.abs(np.diff(sign.astype(np.int16)))
+            # zero crossings within each doc: total flips minus boundary flips
+            total = np.add.reduceat(
+                np.concatenate([flips, [0]]), offs[:-1]
+            )
+            # subtract the flip that straddles each doc boundary (it was
+            # counted into the left doc's reduceat bucket)
+            boundary = np.zeros(B, dtype=np.int64)
+            boundary[:-1] = flips[offs[1:-1] - 1]
+            zc = total - boundary
+            peak = np.maximum.reduceat(np.abs(seg), offs[:-1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": sizes.astype(np.int32),
+                    "rms": rms,
+                    "zero_crossings": zc.astype(np.int32),
+                    "peak": peak.astype(np.int32),
+                }
+            )
+
+    return flat.mapInPandas(run, schema=schema)
+
+
 def resize_stub(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
     """Resize = decode → subsample → re-encode; with the codec stubbed this
     keeps the byte plumbing honest: output payload is a deterministic
