@@ -314,6 +314,34 @@ def q_tok_vocab_topk(spark, sf_dir):
     )
 
 
+def q_tok_rarity_score(spark, sf_dir):
+    """Per-doc token-rarity scoring — the exact-integer analog of the LM
+    perplexity quality filter (CCNet-style): rank every token id by global
+    corpus frequency (ties by id), then score each document by the
+    sum / mean / max rarity rank of its tokens. High mean rank = the doc is
+    made of rare tokens (OCR noise, binary spill); low = boilerplate.
+
+    Scale shape: the rank table is VOCAB-BOUNDED — the global row_number
+    window runs over ≤ |vocab| rows (one tiny task), never the exploded
+    corpus; the exploded stream joins it via BROADCAST, and the per-doc
+    re-agg shuffles doc-local keys. All arithmetic integer-exact.
+    """
+    from pyspark.sql import Window as W
+
+    seq = _seq(spark, sf_dir)
+    tok = seq.select("doc_id", F.explode("tokens").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    rank = freq.select("tok", F.row_number().over(w).cast("long").alias("rank"))
+    scored = tok.join(F.broadcast(rank), "tok")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok_m"),
+        F.sum("rank").cast("long").alias("rank_sum"),
+        (F.sum("rank").cast("double") / F.count(F.lit(1))).alias("mean_rank"),
+        F.max("rank").cast("long").alias("max_rank"),
+    )
+
+
 PACK_BIN = 4096  # training-example capacity (tokens)
 PACK_PART = 2048  # docs per scan partition (two-level prefix sum)
 
@@ -388,6 +416,7 @@ QUERIES = {
     "kf_resume_consistency": q_kf_resume_consistency,
     "seq_tiered_readthrough": q_seq_tiered_readthrough,
     "tok_vocab_topk": q_tok_vocab_topk,
+    "tok_rarity_score": q_tok_rarity_score,
     "seq_pack_bins": q_seq_pack_bins,
 }
 
@@ -498,6 +527,21 @@ freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1)
 SELECT CAST(rk AS INT) AS rk, tok, n FROM (
   SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM freq
 ) WHERE rk <= {VOCAB_TOPK}
+""",
+    "tok_rarity_score": f"""
+WITH seq AS ({sequences_sql(ORACLE_N_DOCS, with_tokens=True)}),
+ex AS (SELECT doc_id, unnest(tokens) AS tok FROM seq),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+rnk AS (SELECT tok,
+               CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+        FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)    AS n_tok_m,
+       CAST(sum(rank) AS BIGINT)   AS rank_sum,
+       CAST(sum(rank) AS DOUBLE) / count(*) AS mean_rank,
+       CAST(max(rank) AS BIGINT)   AS max_rank
+FROM ex JOIN rnk USING (tok)
+GROUP BY doc_id
 """,
     # oracle: plain single-window running sum — equals the engine's
     # two-level distributed scan exactly (integer arithmetic)

@@ -81,6 +81,12 @@ CHECKS = {
         [r"Window", r"BroadcastHashJoin"],
         [r"SortMergeJoin|BatchEvalPython|ArrowEvalPython"],
     ),
+    # rarity scoring: vocab-bounded rank table broadcast against the
+    # exploded stream — never a shuffle join on the token key
+    "tok_rarity_score": (
+        [r"BroadcastHashJoin", r"HashAggregate", r"partial_"],
+        [r"SortMergeJoin|BatchEvalPython|ArrowEvalPython"],
+    ),
     # repetition screen: doc-local two-level agg, JVM-only
     "doc_repetition": (
         [r"HashAggregate", r"partial_", r"Generate"],
