@@ -544,6 +544,59 @@ class TierPipeline:
         self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
         return {"n_rows": n_rows, "snapshot_id": sid}
 
+    # ---------------------------------------------------------- restatement
+    def correct_raw(self, spark: SparkSession, corrections: DataFrame) -> dict:
+        """Late-data restatement: upsert corrected raw buckets (keyed by
+        (source, bucket_es)) into the raw tier and recompute the derived
+        1h/1d/compressed partitions of the affected days from the
+        corrected raw tier.
+
+        This is the correction path the append-only watermark contract
+        cannot serve: a bucket whose value was wrong after ingest (late
+        backfill, upstream restatement) must REPLACE its row — an append
+        would double-count, and a full recompute would rescan history.
+        Cost is partition-sized: only the touched pday partitions rewrite
+        (copy-on-write upsert), and only those days' derived tiers
+        recompute. The ingest watermark is preserved by property
+        inheritance, so the next incremental run is unaffected.
+
+        The KF gap-filled tier is intentionally NOT restated here: its
+        state is a sequential recursion over history, so a restated past
+        requires a state rebuild from the correction point — run a fresh
+        gap-fill (cold state) when KF outputs over the corrected window
+        matter. (Reference analog: the update-mode restart re-processes
+        from stored state, kfts.py:252-330 — it equally cannot rewrite
+        already-consumed history in place.)
+        """
+        cor = corrections
+        if "max_ies" not in cor.columns:
+            # raw files carry a max_ies stats column; corrected buckets
+            # keep the watermark axis consistent without advancing it
+            cor = cor.withColumn("max_ies", F.col("bucket_es").cast("long"))
+        cor = cor.withColumn("pday", _pday())
+        sid = self.raw.upsert(
+            spark,
+            cor,
+            key_cols=["source", "bucket_es"],
+            partition_by=["pday"],
+            coalesce=4,
+            stats_cols=["max_ies"],
+        )
+        wm = int(self.raw.property("watermark_es", -1))
+        days = self.raw.last_commit_partitions("pday")
+        self.log.record(
+            "tier_raw_restate", sid, wm, self.raw.manifest()["files"],
+            self.raw.last_commit_rows(),
+        )
+        drows, dsids = self._derive_tiers(spark, days, wm)
+        return {
+            "status": "restated",
+            "watermark_es": wm,
+            "days": days,
+            "rows": drows,
+            "snapshots": {"raw": sid, **dsids},
+        }
+
     # ------------------------------------------------------------ retention
     def expire_raw_before(self, cutoff_es: int) -> int:
         """Retention: drop raw partitions strictly older than the cutoff day.

@@ -306,6 +306,62 @@ class SnapshotTable:
         self.last_commit_files = new
         return self._commit(sid, new, "overwrite_all", properties, parent)
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str],
+        properties: dict | None = None,
+        coalesce: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """MERGE INTO with copy-on-write at partition granularity (the
+        Iceberg ``MERGE … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT`` shape): rows of ``df`` replace current rows with the same
+        ``key_cols`` inside the partitions ``df`` touches; unmatched
+        current rows in those partitions are carried over; partitions df
+        does not touch are untouched metadata-only.
+
+        This is the late-data-correction path a retention store needs —
+        a restated bucket lands as an upsert, never an append (appends
+        would double-count) and never a full-table rewrite (only the
+        affected partitions are rewritten; at 100 TB that is the
+        difference between a partition-sized job and a table-sized one).
+
+        ``df`` is persisted internally: it is read twice (once to list
+        affected partitions — a metadata-scale action, once in the merge)
+        and both reads must see identical data for the merge to be exact.
+        """
+        df = df.persist()
+        try:
+            parts = [
+                tuple(str(r[c]) for c in partition_by)
+                for r in df.select(*partition_by).distinct().collect()
+            ]
+            partset = set(parts)
+            in_parts = lambda p: tuple(  # noqa: E731
+                p.get(c, "") for c in partition_by
+            ) in partset
+            cur = self.read(spark, where=in_parts)
+            cols = df.columns
+            if cur is not None:
+                keep = cur.select(*cols).join(
+                    df.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+                merged = keep.unionByName(df)
+            else:
+                merged = df
+            return self.overwrite_partitions(
+                merged,
+                partition_by,
+                properties=properties,
+                coalesce=coalesce,
+                stats_cols=stats_cols,
+            )
+        finally:
+            df.unpersist()
+
     def drop_partitions(
         self, predicate, properties: dict | None = None
     ) -> int:

@@ -320,3 +320,98 @@ def test_read_incremental_between_snapshots(spark, tmp_path):
     got = sorted(r.id for r in inc2.collect())
     assert got == [100, 102]
     assert t.read_incremental(spark, s2) is None
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    """Copy-on-write upsert: matched keys replaced, unmatched carried over,
+    untouched partitions metadata-identical, old snapshot time-travels."""
+    import pandas as pd
+
+    from kfts_insar_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ups"))
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4],
+                "v": [10, 20, 30, 40],
+                "pday": ["d1", "d1", "d2", "d2"],
+            }
+        )
+    )
+    sid0 = t.append(base, partition_by=["pday"])
+    d2_files_before = {
+        e["path"] for e in t.manifest()["files"] if e["partition"]["pday"] == "d2"
+    }
+    up = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 5], "v": [99, 50], "pday": ["d1", "d1"]})
+    )
+    t.upsert(spark, up, key_cols=["k"], partition_by=["pday"])
+    got = {
+        (r.k, r.pday): r.v
+        for r in t.read(spark).select("k", "v", "pday").collect()
+    }
+    assert got == {
+        (1, "d1"): 10,  # unmatched row in touched partition carried over
+        (2, "d1"): 99,  # matched key replaced
+        (5, "d1"): 50,  # new key inserted
+        (3, "d2"): 30,  # untouched partition intact
+        (4, "d2"): 40,
+    }
+    d2_files_after = {
+        e["path"] for e in t.manifest()["files"] if e["partition"]["pday"] == "d2"
+    }
+    assert d2_files_after == d2_files_before  # metadata-only for d2
+    old = {
+        (r.k, r.pday): r.v
+        for r in t.read(spark, snapshot_id=sid0).select("k", "v", "pday").collect()
+    }
+    assert old[(2, "d1")] == 20  # time travel sees pre-merge data
+
+
+def test_correct_raw_restates_tiers(spark, seq, tmp_path):
+    """Restating one raw bucket rewrites only its day, cascades into the
+    derived tiers, preserves the watermark, and leaves the next run a noop."""
+    from kfts_insar_spark.operators.rollup import HOUR_SECONDS
+
+    pipe = TierPipeline(str(tmp_path / "restate"), run_gapfill=False)
+    pipe.run(spark, seq)
+    wm_before = int(pipe.raw.property("watermark_es"))
+
+    raw = pipe.read_tier(spark, "raw")
+    victim = raw.orderBy("source", "bucket_es").first()
+    cor = raw.filter(
+        (F.col("source") == victim.source)
+        & (F.col("bucket_es") == victim.bucket_es)
+    ).select(
+        "source", "bucket_es",
+        (F.col("n_docs") + 0).alias("n_docs"),
+        (F.col("sum_tok") + 1000).alias("sum_tok"),
+        "min_tok", "max_tok",
+    )
+    res = pipe.correct_raw(spark, cor)
+    assert res["status"] == "restated" and len(res["days"]) == 1
+
+    # raw reflects the correction; watermark preserved; replay is a noop
+    got = pipe.read_tier(spark, "raw").filter(
+        (F.col("source") == victim.source)
+        & (F.col("bucket_es") == victim.bucket_es)
+    ).first()
+    assert got.sum_tok == victim.sum_tok + 1000
+    assert int(pipe.raw.property("watermark_es")) == wm_before
+    assert pipe.run(spark, seq)["status"] == "noop"
+
+    # the 1h tier equals a fresh cascade from the corrected raw tier
+    from kfts_insar_spark.operators.rollup import TIER_COLS, rollup_cascade
+
+    want = sorted(
+        tuple(r)
+        for r in rollup_cascade(
+            pipe.read_tier(spark, "raw").select(*TIER_COLS), HOUR_SECONDS
+        ).collect()
+    )
+    have = sorted(
+        tuple(r)
+        for r in pipe.read_tier(spark, "1h").select(*TIER_COLS).collect()
+    )
+    assert have == want
