@@ -60,6 +60,21 @@ def q_seq_gorilla_roundtrip(spark, sf_dir):
     )
 
 
+def q_seq_gorilla_roundtrip_frac(spark, sf_dir):
+    """Fractional-mantissa Gorilla roundtrip: value = sum_tok ∕ 7 is a
+    non-terminating binary fraction, so successive XORs carry dense
+    mantissa diffs — exercising the codec's wide-window and new-window
+    paths that the integer-valued roundtrip (whose XORs concentrate in a
+    few exponent/top-mantissa bits) barely touches. Lossless ⇒ bit-equal
+    to the uncompressed oracle computing the same division."""
+    raw = rollup_raw(_seq(spark, sf_dir)).withColumn(
+        "v", F.col("sum_tok").cast("double") / F.lit(7.0)
+    )
+    return decompress_tier(compress_tier(raw, value_col="v")).select(
+        "source", "bucket_es", F.col("value").alias("v")
+    )
+
+
 def q_seq_token_fingerprint(spark, sf_dir):
     """Per-row token-array fingerprint (sum, first, last, rolling hash) —
     the strong form of the token-array-equality invariant, computed entirely
@@ -409,6 +424,7 @@ QUERIES = {
     "seq_rollup_1h": q_seq_rollup_1h,
     "seq_rollup_1d": q_seq_rollup_1d,
     "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
+    "seq_gorilla_roundtrip_frac": q_seq_gorilla_roundtrip_frac,
     "seq_token_fingerprint": q_seq_token_fingerprint,
     "seq_invariant_violations": q_seq_invariant_violations,
     "kf_gapfill_phases": q_kf_gapfill_phases,
@@ -430,6 +446,13 @@ WITH seq AS ({_oracle_seq()})
 SELECT source,
        CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT) AS bucket_es,
        CAST(sum(n_tok) AS DOUBLE) AS sum_tok_d
+FROM seq GROUP BY 1, 2
+""",
+    "seq_gorilla_roundtrip_frac": f"""
+WITH seq AS ({_oracle_seq()})
+SELECT source,
+       CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT) AS bucket_es,
+       CAST(sum(n_tok) AS DOUBLE) / 7.0 AS v
 FROM seq GROUP BY 1, 2
 """,
     "seq_token_fingerprint": f"""

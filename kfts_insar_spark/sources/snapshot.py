@@ -499,6 +499,7 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         where=None,
         stats_where=None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """Read a snapshot as ONE parquet scan. ``where`` (a callable on
         the per-file partition dict) prunes FILES from the manifest before
@@ -507,6 +508,13 @@ class SnapshotTable:
         ``{col: [min, max]}``) additionally prunes on the footer statistics
         recorded at write time (Iceberg manifest min/max pruning); files
         written without stats are conservatively kept.
+
+        ``merge_schema=True`` is the schema-evolution read (Iceberg
+        add-column semantics): commits may add columns over time, and the
+        scan resolves the union schema with NULL backfill for files
+        written before a column existed. Off by default — schema merging
+        reads every footer up front, which the steady-state tier reads
+        (stable schema) should not pay.
 
         Partition columns live in directory names; they are recovered from
         the file path with ``input_file_name()`` inside the single scan —
@@ -529,7 +537,10 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         keys = sorted({k for e in entries for k in e["partition"]})
-        df = spark.read.parquet(*[e["path"] for e in entries])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[e["path"] for e in entries])
         for k in keys:
             df = df.withColumn(
                 k, F.regexp_extract(F.input_file_name(), f"{k}=([^/]+)", 1)

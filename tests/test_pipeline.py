@@ -415,3 +415,35 @@ def test_correct_raw_restates_tiers(spark, seq, tmp_path):
         for r in pipe.read_tier(spark, "1h").select(*TIER_COLS).collect()
     )
     assert have == want
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Iceberg add-column semantics: later commits may add columns; a
+    merge_schema read resolves the union schema with NULL backfill for
+    pre-evolution files, and time travel still sees the old schema."""
+    import pandas as pd
+
+    from kfts_insar_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "evo"))
+    sid0 = t.append(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "v": [10, 20], "pday": ["d1", "d1"]})
+        ),
+        partition_by=["pday"],
+    )
+    t.append(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"k": [3], "v": [30], "quality": [0.9], "pday": ["d2"]}
+            )
+        ),
+        partition_by=["pday"],
+    )
+    evo = t.read(spark, merge_schema=True)
+    assert "quality" in evo.columns
+    rows = {r.k: r.quality for r in evo.select("k", "quality").collect()}
+    assert rows[3] == pytest.approx(0.9)
+    assert rows[1] is None and rows[2] is None  # NULL backfill
+    old = t.read(spark, snapshot_id=sid0, merge_schema=True)
+    assert "quality" not in old.columns  # time travel: pre-evolution schema
