@@ -221,6 +221,32 @@ def main() -> None:
         for td in incr_dirs:
             shutil.rmtree(td, ignore_errors=True)
 
+    # --- the committed tier cascade at 10× docs: same stages as q_tiers
+    # but with enough data that the per-commit fixed costs amortize — this
+    # is the BASELINE "rolled-up points/sec (tier-exact)" number at a batch
+    # size that matches how a real deployment feeds the pipeline (large
+    # increments), reported as rolled_up_points_per_sec_bulk
+    bulk_docs = n_docs * 10
+    bulk_dirs: list[str] = []
+
+    def mk_bulk_dir():
+        td = tempfile.mkdtemp(prefix="bench_bulk_")
+        bulk_dirs.append(td)
+        return td
+
+    def tiers_bulk(td):
+        pipe = TierPipeline(td, salt_buckets=CPUS, run_gapfill=False)
+        res = pipe.run(
+            spark, sequences(spark, bulk_docs, partitions=CPUS * 4)
+        )
+        return sum(res["rows"].values())
+
+    try:
+        timed("q_tiers_bulk", tiers_bulk, mk=mk_bulk_dir)
+    finally:
+        for td in bulk_dirs:
+            shutil.rmtree(td, ignore_errors=True)
+
     # --- pure aggregation throughput: one-pass base→1d rollup over 10×
     # the sf docs (generation is integer-expression-only, tokens pruned) —
     # the shuffle/agg path without commit fixed costs
@@ -317,6 +343,15 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "rolled_up_points_per_sec": round(counts["q_tiers"] / timings["q_tiers"], 1),
+        # the same committed cascade at 10× docs — fixed costs amortized;
+        # docs/s is the input-side form (each doc is one rolled-up point
+        # contribution; tier rows are bounded by the bucket grid)
+        "rolled_up_points_per_sec_bulk": round(
+            counts["q_tiers_bulk"] / timings["q_tiers_bulk"], 1
+        ),
+        "ingest_docs_per_sec_bulk": round(
+            bulk_docs / timings["q_tiers_bulk"], 1
+        ),
         "gapfilled_points_per_sec": round(
             counts["q_pipeline_kf"] / timings["q_pipeline_kf"], 1
         ),
