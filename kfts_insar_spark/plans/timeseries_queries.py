@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rollup import RAW_SECONDS, rollup_raw
+from ..operators.rollup import RAW_SECONDS, rollup_cascade, rollup_raw
 from ..synth import sequences, sequences_sql
 from .common import ORACLE_N_DOCS, n_docs_of
 
@@ -500,6 +500,92 @@ FROM s3
 """
 
 
+# --------------------------------------------------------- grouped quantiles
+def q_seq_daily_quantiles(spark, sf_dir):
+    """Exact grouped percentiles: p50/p90/p99 of the 300 s bucket token
+    sums within each (source, day) — the per-cohort latency-style summary
+    every TSDB dashboard serves. Spark `percentile` and DuckDB
+    `quantile_cont` share linear interpolation on sorted values, and the
+    inputs are integers, so the interpolated values are identical doubles.
+
+    Scale: exact percentiles need the group's values together — one
+    shuffle on (source, day), group sizes bounded by the bucket grid
+    (≤ 288 raw buckets/day), so no group ever exceeds a task."""
+    raw = _raw(spark, sf_dir)
+    day = ((F.col("bucket_es") / 86400).cast("long") * 86400).alias("day_es")
+    return raw.groupBy("source", day).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr("percentile(sum_tok, 0.5)").alias("p50"),
+        F.expr("percentile(sum_tok, 0.9)").alias("p90"),
+        F.expr("percentile(sum_tok, 0.99)").alias("p99"),
+    )
+
+
+ORACLE_DAILY_QUANTILES = f"""
+WITH raw AS ({_oracle_raw()})
+SELECT source,
+       CAST((bucket_es // 86400) * 86400 AS BIGINT) AS day_es,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       quantile_cont(sum_tok, 0.5)  AS p50,
+       quantile_cont(sum_tok, 0.9)  AS p90,
+       quantile_cont(sum_tok, 0.99) AS p99
+FROM raw GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ cohort enrichment
+def q_seq_bucket_zscore(spark, sf_dir):
+    """Fact→aggregate enrichment join: each document joins its (source,
+    1 h bucket) tier row and reports its token count's deviation from the
+    cohort mean — the per-doc normalization a training-data pipeline
+    applies before mixing sources. Deviation = n_tok − sum/count is a
+    single exact-rational division, identical in both engines.
+
+    Scale: the tier side is bucket-grid-bounded (≪ the doc table) and
+    BROADCAST; the doc side never shuffles. The plan is scan → project →
+    broadcast hash join — the cheapest possible enrichment shape."""
+    seq = _seq(spark, sf_dir)
+    tier = rollup_cascade(rollup_raw(seq), 3600).select(
+        "source",
+        F.col("bucket_es").alias("hour_es"),
+        (F.col("sum_tok").cast("double") / F.col("n_docs")).alias("cohort_mean"),
+        F.col("n_docs").alias("cohort_n"),
+    )
+    docs = seq.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        ((F.col("ingest_es") / 3600).cast("long") * 3600).alias("hour_es"),
+    )
+    j = docs.join(F.broadcast(tier), ["source", "hour_es"])
+    return j.select(
+        "doc_id",
+        "source",
+        "hour_es",
+        "n_tok",
+        "cohort_n",
+        F.round(F.col("n_tok") - F.col("cohort_mean"), 9).alias("dev_from_mean"),
+    )
+
+
+ORACLE_BUCKET_ZSCORE = f"""
+WITH seq AS ({sequences_sql(ORACLE_N_DOCS, with_tokens=False)}),
+tier AS (
+  SELECT source,
+         CAST((ingest_es // 3600) * 3600 AS BIGINT) AS hour_es,
+         CAST(sum(n_tok) AS DOUBLE) / count(*) AS cohort_mean,
+         CAST(count(*) AS BIGINT) AS cohort_n
+  FROM seq GROUP BY 1, 2)
+SELECT doc_id, source, hour_es, n_tok, cohort_n,
+       round(n_tok - cohort_mean, 9) AS dev_from_mean
+FROM (
+  SELECT doc_id, source, n_tok,
+         CAST((ingest_es // 3600) * 3600 AS BIGINT) AS hour_es
+  FROM seq) d
+JOIN tier USING (source, hour_es)
+"""
+
+
 QUERIES = {
     "seq_gaps_islands": q_seq_gaps_islands,
     "seq_interp_fill": q_seq_interp_fill,
@@ -508,6 +594,8 @@ QUERIES = {
     "tok_source_drift": q_tok_source_drift,
     "seq_ewma": q_seq_ewma,
     "seq_hampel": q_seq_hampel,
+    "seq_daily_quantiles": q_seq_daily_quantiles,
+    "seq_bucket_zscore": q_seq_bucket_zscore,
 }
 
 ORACLE_SQL = {
@@ -518,4 +606,6 @@ ORACLE_SQL = {
     "tok_source_drift": ORACLE_SOURCE_DRIFT,
     "seq_ewma": ORACLE_EWMA,
     "seq_hampel": ORACLE_HAMPEL,
+    "seq_daily_quantiles": ORACLE_DAILY_QUANTILES,
+    "seq_bucket_zscore": ORACLE_BUCKET_ZSCORE,
 }

@@ -123,6 +123,17 @@ CHECKS = {
         [r"Window"],
         [r"BatchEvalPython|ArrowEvalPython|Join"],
     ),
+    # grouped exact percentiles: one shuffle, JVM percentile agg
+    "seq_daily_quantiles": (
+        [r"HashAggregate|ObjectHashAggregate|SortAggregate"],
+        [r"BatchEvalPython|ArrowEvalPython|Join"],
+    ),
+    # cohort enrichment: bucket-grid tier BROADCAST against the doc
+    # stream — never a shuffle join on the fact side
+    "seq_bucket_zscore": (
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin|BatchEvalPython|ArrowEvalPython"],
+    ),
 }
 
 
