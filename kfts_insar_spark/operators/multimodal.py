@@ -264,8 +264,11 @@ def audio_features(media: DataFrame) -> DataFrame:
             for i, (payload, dur) in enumerate(zip(pdf["payload"], pdf["dur"])):
                 # decode stub: tile payload to 8 samples/ms, center at 0
                 n = max(8, (int(dur) // 1000) * 8)
-                reps = -(-n // len(payload))
-                w = np.frombuffer(bytes(payload) * reps, dtype=np.uint8)[:n]
+                # empty payload → silence (all-zero wave), mirroring
+                # frame_sample's max(1, len) guard for the same case
+                src = bytes(payload) if len(payload) else b"\x80"
+                reps = -(-n // len(src))
+                w = np.frombuffer(src * reps, dtype=np.uint8)[:n]
                 waves.append(w.astype(np.int64) - 128)
                 sizes[i] = n
             seg = np.concatenate(waves)

@@ -116,9 +116,18 @@ class TierPipeline:
         # no window for a live source to diverge the tiers.
         partial = None
         if self.run_gapfill:
+            # localCheckpoint (not persist): the series commit re-reads this
+            # frame AFTER the raw commit fixed the watermark from its footer
+            # stats. A persisted frame can silently recompute from the live
+            # source on cache eviction, picking up rows past the committed
+            # watermark → double-counted KF input on the next run. A
+            # checkpoint truncates lineage: partitions either serve the
+            # materialization the raw commit saw, or the job FAILS (lost
+            # partitions are not recomputable) and the next run heals
+            # through the bounded fallback scan in _ingest_series.
             partial = rollup_series_partial(
                 fresh, self.kf_shards, with_max_ingest=True
-            ).persist()
+            ).localCheckpoint(eager=False)
             raw_inc = merge_shard_partials(partial, with_max_ingest=True)
         else:
             raw_inc = rollup_raw(
@@ -424,23 +433,16 @@ class TierPipeline:
             wide = wide.join(prev, "doc_id", "full")
 
         combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
-        from concurrent.futures import ThreadPoolExecutor
-
-        state_pool = ThreadPoolExecutor(1)
         try:
-            # the state commit depends only on `combined` (persisted) — run
-            # it concurrently with the explode/stitch/commit of the output
-            # tier; the two tables have independent commit state
-            f_state = state_pool.submit(
-                self.kf_state.overwrite_all,
-                combined.select("doc_id", "k_done", "idx0", "m", "P"),
-                properties={
-                    "grid_lo": lo,
-                    "k_done": m,
-                    "idx0": max(0, m - self.kf_cfg.t_sep),
-                    "watermark_es": wm,
-                },
-            )
+            # COMMIT ORDER IS LOAD-BEARING: output tier FIRST, state SECOND.
+            # If the state commit (watermark_es/k_done advanced) landed
+            # before the output commit and the process crashed in between,
+            # _heal would see kf_state caught up and skip the gap re-run,
+            # and the early return above (m <= k_done_prev) would refuse to
+            # re-emit — the increment's gap-filled rows would be permanently
+            # lost. With output-first, a crash leaves stale state and the
+            # next run re-executes the same window idempotently (overwrite
+            # replaces, never adds).
             out = explode_kf_output(combined, t_grid)
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
@@ -537,9 +539,16 @@ class TierPipeline:
                 rows_cached.unpersist()
             # the state's idx0 is uniform across docs (grid-determined): L
             # kept params + last t_sep phases → idx0 = m − t_sep
-            f_state.result()
+            self.kf_state.overwrite_all(
+                combined.select("doc_id", "k_done", "idx0", "m", "P"),
+                properties={
+                    "grid_lo": lo,
+                    "k_done": m,
+                    "idx0": max(0, m - self.kf_cfg.t_sep),
+                    "watermark_es": wm,
+                },
+            )
         finally:
-            state_pool.shutdown(wait=True)
             combined.unpersist()
         self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
         return {"n_rows": n_rows, "snapshot_id": sid}

@@ -210,10 +210,17 @@ def q_seq_minmax_decimate(spark, sf_dir):
     integer key — max/min of the packed key is a total order, so Spark and
     DuckDB cannot disagree on which point survives.
 
+    All packing arithmetic is EXACT integer (long multiply, `div`
+    integral division, pmod) — never `/`-then-cast, whose double round
+    trip loses low bits once the packed key exceeds 2^53. The packing is
+    valid for 0 <= sum_tok < 2^32 (key stays inside int64); per-300 s
+    per-source token sums are orders of magnitude below that bound, and
+    the rollup schema caps them structurally (n_tok is int32 per doc).
+
     Scale: plain algebraic aggregation (partial → final), shard-safe."""
     raw = _raw(spark, sf_dir)
-    step = (F.col("bucket_es") / RAW_SECONDS).cast("long")
-    key = F.col("sum_tok") * F.lit(_PACK) + step
+    step = F.expr(f"CAST(bucket_es AS BIGINT) div {RAW_SECONDS}")
+    key = F.col("sum_tok").cast("long") * F.lit(_PACK) + step
     hour = ((F.col("bucket_es") / 3600).cast("long") * 3600).alias("hour_es")
     agg = raw.groupBy("source", hour).agg(
         F.max(key).alias("kmax"), F.min(key).alias("kmin")
@@ -221,9 +228,9 @@ def q_seq_minmax_decimate(spark, sf_dir):
     return agg.select(
         "source",
         "hour_es",
-        (F.col("kmin") / _PACK).cast("long").alias("min_tok"),
+        F.expr(f"kmin div {_PACK}").alias("min_tok"),
         (F.pmod("kmin", F.lit(_PACK)) * RAW_SECONDS).cast("long").alias("min_es"),
-        (F.col("kmax") / _PACK).cast("long").alias("max_tok"),
+        F.expr(f"kmax div {_PACK}").alias("max_tok"),
         (F.pmod("kmax", F.lit(_PACK)) * RAW_SECONDS).cast("long").alias("max_es"),
     )
 

@@ -346,6 +346,17 @@ class SnapshotTable:
             cur = self.read(spark, where=in_parts)
             cols = df.columns
             if cur is not None:
+                # a narrower/wider correction frame would silently corrupt
+                # carried-over rows (stored columns absent from df get
+                # dropped in rewritten partitions) — refuse loudly instead
+                missing = set(cur.columns) - set(cols)
+                extra = set(cols) - set(cur.columns)
+                if missing or extra:
+                    raise ValueError(
+                        "upsert frame schema mismatch vs stored table: "
+                        f"missing={sorted(missing)} extra={sorted(extra)} — "
+                        "supply the table's full column set"
+                    )
                 keep = cur.select(*cols).join(
                     df.select(*key_cols).distinct(), key_cols, "left_anti"
                 )
