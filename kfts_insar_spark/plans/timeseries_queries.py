@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rollup import RAW_SECONDS, rollup_cascade, rollup_raw
+from ..operators.shardwin import SHARD_STEPS, halo, with_shard
 from ..synth import sequences, sequences_sql
 from .common import ORACLE_N_DOCS, n_docs_of
 
@@ -64,22 +65,45 @@ def q_seq_gaps_islands(spark, sf_dir):
     source. The classic step − row_number() grouping trick: consecutive
     steps share (step − rn), one groupBy per island.
 
-    Scale: island detection is shard-decomposable only up to shard
-    boundaries — production keys by (source, shard) and merges
-    boundary-adjacent islands in a second tiny pass over island endpoints
-    (endpoint rows ≪ series rows); at this layer the per-source form is
-    the semantic definition."""
+    Scale (SHARD-KEYED, round-3): island detection runs per
+    (source, time-range shard) — cores-many tasks instead of 5 — and a
+    second pass over ISLAND ENDPOINTS ONLY (rows ≪ series rows: one per
+    island) chains boundary-adjacent islands across shards with a
+    per-source running sum of break flags. The heavy window/groupBy
+    never sees a 5-key partition; only the endpoint merge does, on a
+    table whose size is the number of islands."""
     raw = _raw(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("bucket_es")
-    stepped = raw.select(
-        "source",
-        "bucket_es",
-        (F.col("bucket_es") / RAW_SECONDS).cast("long").alias("step"),
-    ).withColumn("grp", F.col("step") - F.row_number().over(w))
-    return stepped.groupBy("source", "grp").agg(
-        F.min("bucket_es").alias("island_start_es"),
-        F.max("bucket_es").alias("island_end_es"),
-        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    stepped = with_shard(
+        raw.select(
+            "source",
+            "bucket_es",
+            (F.col("bucket_es") / RAW_SECONDS).cast("long").alias("step"),
+        ),
+        "step",
+    )
+    w = Window.partitionBy("source", "shard").orderBy("bucket_es")
+    local = (
+        stepped.withColumn("grp", F.col("step") - F.row_number().over(w))
+        .groupBy("source", "shard", "grp")
+        .agg(
+            F.min("step").alias("s0"),
+            F.max("step").alias("s1"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    # endpoint merge: islands are disjoint intervals; an island continues
+    # the previous one iff its start step is exactly prev end + 1
+    wm = Window.partitionBy("source").orderBy("s0")
+    brk = F.when(
+        F.col("s0") == F.lag("s1").over(wm) + 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    merged = local.withColumn("brk", brk).withColumn(
+        "iid", F.sum("brk").over(wm.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return merged.groupBy("source", "iid").agg(
+        (F.min("s0") * RAW_SECONDS).alias("island_start_es"),
+        (F.max("s1") * RAW_SECONDS).alias("island_end_es"),
+        F.sum("n").cast("long").alias("n_buckets"),
     ).select("source", "island_start_es", "island_end_es", "n_buckets")
 
 
@@ -109,29 +133,53 @@ def q_seq_interp_fill(spark, sf_dir):
     `filled` is rounded to 6 dp — the expression is the same IEEE-double
     formula on both engines, rounding clears representation noise only.
 
-    Scale: anchor scans are frame-bounded running windows (no growing
-    state); per-(source, shard) keying decomposes exactly as the pipeline's
-    KF stage does."""
+    Scale (SHARD-KEYED, round-3): the lattice is generated per
+    (source, time-range shard) — no single sequence() array ever spans
+    the whole history — and the unbounded prev/next anchor scans run per
+    (source, shard). Cross-shard anchors close over a TINY boundary
+    table (one row per (source, shard): its first/last observation) with
+    a per-source window, broadcast back. The unbounded-anchor form of
+    the halo exchange in operators/shardwin.py."""
     raw = _raw(spark, sf_dir)
-    lattice = (
+    span = F.lit(SHARD_STEPS * RAW_SECONDS).cast("long")
+    shards = (
         raw.groupBy("source")
         .agg(F.min("bucket_es").alias("lo"), F.max("bucket_es").alias("hi"))
         .select(
             "source",
+            "lo",
+            "hi",
             F.explode(
-                F.sequence("lo", "hi", F.lit(RAW_SECONDS).cast("long"))
-            ).alias("bucket_es"),
+                F.sequence(
+                    F.expr(f"lo div {SHARD_STEPS * RAW_SECONDS}"),
+                    F.expr(f"hi div {SHARD_STEPS * RAW_SECONDS}"),
+                )
+            ).alias("shard"),
         )
+    )
+    lattice = shards.select(
+        "source",
+        "shard",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("lo"), F.col("shard") * span),
+                F.least(
+                    F.col("hi"),
+                    (F.col("shard") + 1) * span - F.lit(RAW_SECONDS).cast("long"),
+                ),
+                F.lit(RAW_SECONDS).cast("long"),
+            )
+        ).alias("bucket_es"),
     )
     j = lattice.join(raw.select("source", "bucket_es", "sum_tok"),
                      ["source", "bucket_es"], "left")
     wp = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("bucket_es")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("bucket_es")
         .rowsBetween(0, Window.unboundedFollowing)
     )
@@ -139,12 +187,46 @@ def q_seq_interp_fill(spark, sf_dir):
     es_obs = F.when(F.col("sum_tok").isNotNull(), F.col("bucket_es"))
     j = j.select(
         "source",
+        "shard",
         "bucket_es",
         F.col("sum_tok").isNull().alias("was_gap"),
         F.last(val, ignorenulls=True).over(wp).alias("pv"),
         F.last(es_obs, ignorenulls=True).over(wp).alias("pt"),
         F.first(val, ignorenulls=True).over(wn).alias("nv"),
         F.first(es_obs, ignorenulls=True).over(wn).alias("nt"),
+    )
+    # boundary table: one row per (source, shard) — its first and last
+    # observation (struct max/min orders by bucket_es first)
+    obs = raw.select(
+        "source",
+        F.expr(f"CAST(bucket_es div {RAW_SECONDS} AS BIGINT) "
+               f"div {SHARD_STEPS}").alias("shard"),
+        F.struct(F.col("bucket_es"), F.col("sum_tok").cast("double").alias("v"))
+        .alias("o"),
+    ).groupBy("source", "shard").agg(
+        F.max("o").alias("last_o"), F.min("o").alias("first_o")
+    )
+    allsh = shards.select("source", "shard").join(obs, ["source", "shard"], "left")
+    wb_p = (
+        Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wb_n = (
+        Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    anchors = allsh.select(
+        "source",
+        "shard",
+        F.last("last_o", ignorenulls=True).over(wb_p).alias("prev_o"),
+        F.first("first_o", ignorenulls=True).over(wb_n).alias("next_o"),
+    )
+    j = (
+        j.join(F.broadcast(anchors), ["source", "shard"], "left")
+        .withColumn("pv", F.coalesce("pv", F.col("prev_o.v")))
+        .withColumn("pt", F.coalesce("pt", F.col("prev_o.bucket_es")))
+        .withColumn("nv", F.coalesce("nv", F.col("next_o.v")))
+        .withColumn("nt", F.coalesce("nt", F.col("next_o.bucket_es")))
     )
     frac = (F.col("bucket_es") - F.col("pt")).cast("double") / (
         F.col("nt") - F.col("pt")
@@ -277,19 +359,36 @@ def q_seq_counter_rate(spark, sf_dir):
         day.alias("day"),
         F.sum("sum_tok").over(wcum).alias("counter"),
     ).filter((F.col("bucket_es") / RAW_SECONDS).cast("long") % 4 == 0)
-    wlag = Window.partitionBy("source").orderBy("bucket_es")
+    # SHARD-KEYED (round-3): the running sum already partitions by
+    # (source, day) — high cardinality. Only the lag(1) across sampled
+    # rows spanned the whole per-source series; halo depth 1 makes it
+    # exact per (source, time-range shard).
+    sharded = halo(
+        with_shard(
+            ctr.withColumn(
+                "step", (F.col("bucket_es") / RAW_SECONDS).cast("long")
+            ),
+            "step",
+        ),
+        ["source"],
+        "shard",
+        "bucket_es",
+        rows_before=1,
+    )
+    wlag = Window.partitionBy("source", "shard").orderBy("bucket_es")
     prev = F.lag("counter").over(wlag)
     inc = F.when(prev.isNull(), F.lit(None)).otherwise(
         F.when(F.col("counter") >= prev, F.col("counter") - prev).otherwise(
             F.col("counter")
         )
     )
-    return ctr.select(
+    return sharded.select(
         "source",
         "bucket_es",
+        "_halo",
         F.col("counter").cast("long").alias("counter"),
         inc.cast("long").alias("increase"),
-    )
+    ).filter(~F.col("_halo")).drop("_halo")
 
 
 ORACLE_COUNTER_RATE = f"""
@@ -395,9 +494,25 @@ def q_seq_ewma(spark, sf_dir):
     Catalyst form — error bounded by αᴷ = 2⁻⁸ of a weight, here exact
     because the same truncation defines the oracle.
 
-    Scale: fixed-frame window (ROWS K−1 PRECEDING), shard-safe."""
+    Scale (SHARD-KEYED, round-3): ROWS-bounded frame (K−1 = 7 lags) →
+    exact under the halo exchange: each (source, time-range shard) gets
+    the previous shard's last 7 rows replicated in, the identical lag
+    expressions run per (source, shard) at cores-many tasks, halo rows'
+    outputs are dropped."""
     raw = _raw(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("bucket_es")
+    sharded = halo(
+        with_shard(
+            raw.withColumn(
+                "step", (F.col("bucket_es") / RAW_SECONDS).cast("long")
+            ),
+            "step",
+        ),
+        ["source"],
+        "shard",
+        "bucket_es",
+        rows_before=_EWMA_K - 1,
+    )
+    w = Window.partitionBy("source", "shard").orderBy("bucket_es")
     num = F.lit(0.0)
     den = F.lit(0.0)
     wgt = 1.0
@@ -406,9 +521,9 @@ def q_seq_ewma(spark, sf_dir):
         num = num + F.when(v.isNotNull(), v.cast("double") * F.lit(wgt)).otherwise(0.0)
         den = den + F.when(v.isNotNull(), F.lit(wgt)).otherwise(0.0)
         wgt *= _EWMA_ALPHA_NUM / _EWMA_ALPHA_DEN
-    return raw.select(
-        "source", "bucket_es", (num / den).alias("ewma")
-    )
+    return sharded.select(
+        "source", "bucket_es", "_halo", (num / den).alias("ewma")
+    ).filter(~F.col("_halo")).drop("_halo")
 
 
 def _ewma_sql_terms() -> tuple[str, str]:
@@ -452,24 +567,38 @@ def q_seq_hampel(spark, sf_dir):
     the 3·1.4826·MAD threshold is one double product — same expression both
     engines, compared (not summed), so bit-stable.
 
-    Scale: two fixed ROWS-frame window passes, shard-safe."""
+    Scale (SHARD-KEYED, round-3): the two ±3 ROWS frames compose to a
+    dependency depth of 6 rows (a surviving row's MAD frame needs absdev
+    of rows ±3, each of whose median frame needs ±3 more) → halo depth 6
+    on BOTH sides makes every surviving row's two-pass result exact per
+    (source, time-range shard). Halo rows deeper than 3 carry truncated
+    medians, but only other halo rows consume them — all dropped."""
     raw = _raw(spark, sf_dir)
-    wmed = (
-        Window.partitionBy("source")
+    deep = 2 * _HAMPEL_HALF
+    sharded = halo(
+        with_shard(
+            raw.withColumn(
+                "step", (F.col("bucket_es") / RAW_SECONDS).cast("long")
+            ),
+            "step",
+        ),
+        ["source"],
+        "shard",
+        "bucket_es",
+        rows_before=deep,
+        rows_after=deep,
+    )
+    wroll = (
+        Window.partitionBy("source", "shard")
         .orderBy("bucket_es")
         .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
     )
-    med = F.expr("percentile(sum_tok, 0.5)").over(wmed)
-    step1 = raw.select(
-        "source", "bucket_es", "sum_tok", med.alias("roll_med")
+    med = F.expr("percentile(sum_tok, 0.5)").over(wroll)
+    step1 = sharded.select(
+        "source", "shard", "bucket_es", "sum_tok", "_halo", med.alias("roll_med")
     ).withColumn("absdev", F.abs(F.col("sum_tok") - F.col("roll_med")))
-    wmad = (
-        Window.partitionBy("source")
-        .orderBy("bucket_es")
-        .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
-    )
-    mad = F.expr("percentile(absdev, 0.5)").over(wmad)
-    out = step1.withColumn("roll_mad", mad)
+    mad = F.expr("percentile(absdev, 0.5)").over(wroll)
+    out = step1.withColumn("roll_mad", mad).filter(~F.col("_halo"))
     thresh = F.lit(3.0) * F.lit(1.4826) * F.col("roll_mad")
     return out.select(
         "source",
