@@ -92,6 +92,15 @@ class KFConfig:
     # with a-priori variance grow_var (the reference hardcodes 70²)
     grow_dt: float | None = None
     grow_var: float = 4900.0
+    # in-loop quality gate (reference ``check_fit``, kf/KF_class.py:319-333:
+    # covariance-weighted post-fit residual res = Cres⁻¹·(y − H·X_analysed)
+    # with Cres = R + H·P_analysed·Hᵀ, warned when |mean| > eps_interf).
+    # Here the scalar residual's trailing mean over the last ``check_win``
+    # observed steps is compared to ``check_eps``; the kernel emits a
+    # per-doc flag + worst score instead of printing (the engine form of
+    # the reference's only in-loop quality gate).
+    check_eps: float = 10.0  # reference eps_interf default
+    check_win: int = 5
 
     @property
     def L(self) -> int:
@@ -201,6 +210,14 @@ def kalman_direct_batch(
 
     L_trace = np.full(M, -1, dtype=np.int32)
 
+    # check_fit state: ring buffer of the last check_win observed weighted
+    # post-fit residuals per doc (O(B·W) — negligible next to the P update)
+    W = max(1, int(cfg.check_win))
+    rbuf = np.full((B, W), np.nan)
+    wpos = np.zeros(B, dtype=np.int64)
+    fit_flag = np.zeros(B, dtype=bool)
+    fit_max = np.zeros(B)
+
     for k in range(k_start, M):
         # ---- lazy growth: event params whose time is within grow_dt of
         # t[k] enter the state (zero mean, grow_var variance, inserted at
@@ -264,6 +281,17 @@ def kalman_direct_batch(
         innov[:, k] = nu
         gap[:, k] = ~obs
 
+        # ---- check_fit (reference kf/KF_class.py:319-333): weighted
+        # POST-fit residual against the analysed state/covariance
+        oi = np.flatnonzero(obs)
+        if oi.size:
+            r_post = (y[oi] - X[oi, n - 1]) / (P[oi, n - 1, n - 1] + R)
+            rbuf[oi, wpos[oi] % W] = r_post
+            wpos[oi] += 1
+            mean_r = np.abs(np.nanmean(rbuf[oi], axis=1))
+            fit_flag[oi] |= mean_r > cfg.check_eps
+            fit_max[oi] = np.maximum(fit_max[oi], mean_r)
+
         # ---- compaction every step (reference's always-true condition)
         if k >= ts:
             n_drop = (n - L_live) - ts
@@ -312,6 +340,8 @@ def kalman_direct_batch(
         "idx0": idx0,
         "k_done": M,
         "L_trace": L_trace,
+        "fit_flag": fit_flag,
+        "fit_max": fit_max,
     }
 
 
@@ -352,6 +382,11 @@ def kalman_direct_oracle(
     phase[0], std[0] = 0.0, 0.0
     L_trace = np.full(M, -1, dtype=np.int32)
 
+    # check_fit, explicit-matrix form (reference kf/KF_class.py:319-333)
+    fit_res: list[float] = []
+    fit_flag = False
+    fit_max = 0.0
+
     for k in range(1, M):
         if grow:
             for j in np.flatnonzero((arr <= k) & ~live):
@@ -380,6 +415,18 @@ def kalman_direct_oracle(
             m = mf + (K @ [[nu]]).ravel()
             P = Pf - K @ H @ Pf
             innov[k] = nu
+            # Cres = R + H P Hᵀ on the ANALYSED covariance; residual on
+            # the analysed state — exactly the reference's check_fit
+            Cres = np.array([[cfg.sig_i**2]]) + H @ P @ H.T
+            res = float(
+                (np.linalg.inv(Cres) @ [[y[k] - (H @ m)[0]]])[0, 0]
+            )
+            fit_res.append(res)
+            mean_r = abs(
+                float(np.mean(fit_res[-max(1, int(cfg.check_win)):]))
+            )
+            fit_flag = fit_flag or mean_r > cfg.check_eps
+            fit_max = max(fit_max, mean_r)
         else:
             m, P = mf, Pf
 
@@ -405,6 +452,8 @@ def kalman_direct_oracle(
         "m": m,
         "P": P,
         "L_trace": L_trace,
+        "fit_flag": fit_flag,
+        "fit_max": fit_max,
     }
 
 
@@ -642,6 +691,46 @@ def kalman_gapfill(
         "_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
     )
     return bucketed.groupBy("_b").applyInPandas(run, schema=out_schema)
+
+
+def kalman_fit_flags(
+    series: DataFrame,
+    t_grid: np.ndarray,
+    cfg: KFConfig | None = None,
+    num_buckets: int = 128,
+) -> DataFrame:
+    """Per-doc in-loop quality gate (reference ``check_fit``,
+    kf/KF_class.py:319-333): (doc_id, n_obs, fit_flag, fit_max) where
+    fit_flag is True iff at ANY update step the |trailing mean| of the
+    covariance-weighted post-fit residual over the last cfg.check_win
+    observed steps exceeded cfg.check_eps, and fit_max is the worst such
+    trailing mean — the engine's per-series misfit signal (the reference
+    prints a warning per offending step instead).
+
+    Same distribution shape as kalman_gapfill: doc-hash buckets → one
+    batch-kernel run per group, per-doc scalar output (rows = docs)."""
+    cfg = cfg or KFConfig()
+    t_grid = np.asarray(t_grid, dtype=np.float64)
+    M = len(t_grid)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs, values = _fast_pivot(pdf, M)
+        res = kalman_direct_batch(values, t_grid, cfg)
+        return pd.DataFrame(
+            {
+                "doc_id": docs,
+                "n_obs": np.isfinite(values[:, 1:]).sum(axis=1).astype(np.int64),
+                "fit_flag": res["fit_flag"],
+                "fit_max": res["fit_max"],
+            }
+        )
+
+    bucketed = series.withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets))
+    )
+    return bucketed.groupBy("_b").applyInPandas(
+        run, schema="doc_id string, n_obs long, fit_flag boolean, fit_max double"
+    )
 
 
 def kalman_gapfill_aligned(

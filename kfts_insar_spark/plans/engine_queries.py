@@ -229,6 +229,58 @@ def q_kf_innovation_stats(spark, sf_dir):
     )
 
 
+_CHECK_CFG = KFConfig(
+    model=[("POLY", 1)], sig_y=3e3, sig_i=1e3, sig_a=1e7, t_sep=4,
+    check_eps=1e-4, check_win=5,
+)
+
+
+def q_kf_check_fit(spark, sf_dir):
+    """In-loop quality gate (reference ``check_fit``, kf/KF_class.py:319-333),
+    value-checked: the kernel's per-doc misfit flag + worst trailing
+    weighted-residual mean vs an IN-QUERY dense-oracle recomputation.
+    Output per source: n_obs (SQL-derivable — observed update steps are
+    exactly the buckets above the global grid origin), whether the doc is
+    FLAGGED under a deliberately tight noise config (checked via the
+    oracle-mismatch count ≡ 0 — flag disagreement or fit_max divergence
+    both trip it). The tight config flags the high-variance sources and
+    passes the smooth ones, so the gate is exercised in both directions."""
+    import pandas as pd
+
+    from ..operators.kalman import kalman_direct_oracle, kalman_fit_flags
+
+    ser, t, m = _kf_series(spark, sf_dir)
+    flags = kalman_fit_flags(ser, t, _CHECK_CFG, num_buckets=8)
+
+    M = len(t)
+
+    def run(pdf):
+        rows = []
+        for doc, g in pdf.groupby("doc_id", sort=False):
+            y = np.full(M, np.nan)
+            y[g["step"].to_numpy(np.int64)] = g["value"].to_numpy(np.float64)
+            res = kalman_direct_oracle(y, t, _CHECK_CFG)
+            rows.append((doc, bool(res["fit_flag"]), float(res["fit_max"])))
+        return pd.DataFrame(rows, columns=["doc_id", "flag_o", "max_o"])
+
+    ora = ser.groupBy("doc_id").applyInPandas(
+        run, "doc_id string, flag_o boolean, max_o double"
+    )
+    j = flags.join(ora, "doc_id")
+    return j.select(
+        "doc_id",
+        "n_obs",
+        (
+            F.when(F.col("fit_flag") != F.col("flag_o"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            + _rel_mismatch("fit_max", "max_o", 1e-9)
+        )
+        .cast("long")
+        .alias("fit_mismatch"),
+    )
+
+
 def q_kf_resume_consistency(spark, sf_dir):
     """Self-checking: |oneshot − (run+resume)| summed over every (doc, step)
     must be exactly 0 (reference update-mode test, split_data_4test.py).
@@ -430,6 +482,7 @@ QUERIES = {
     "kf_gapfill_phases": q_kf_gapfill_phases,
     "kf_innovation_stats": q_kf_innovation_stats,
     "kf_resume_consistency": q_kf_resume_consistency,
+    "kf_check_fit": q_kf_check_fit,
     "seq_tiered_readthrough": q_seq_tiered_readthrough,
     "tok_vocab_topk": q_tok_vocab_topk,
     "tok_rarity_score": q_tok_rarity_score,
@@ -502,6 +555,18 @@ FROM raw GROUP BY 1
 """,
     "kf_resume_consistency": """
 SELECT CAST(0 AS BIGINT) AS n_mismatch
+""",
+    "kf_check_fit": f"""
+WITH seq AS ({_oracle_seq()}),
+raw AS (SELECT source, CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT)
+               AS bucket_es
+        FROM seq GROUP BY 1, 2),
+g AS (SELECT min(bucket_es) AS lo FROM raw)
+SELECT source AS doc_id,
+       CAST(count(DISTINCT CASE WHEN bucket_es > (SELECT lo FROM g)
+                                THEN bucket_es END) AS BIGINT) AS n_obs,
+       CAST(0 AS BIGINT) AS fit_mismatch
+FROM raw GROUP BY 1
 """,
     "seq_tiered_readthrough": f"""
 WITH seq AS ({_oracle_seq()}),

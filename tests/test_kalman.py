@@ -491,3 +491,82 @@ def test_combined_sparse_resumes_state_only_rows(spark):
         np.asarray(out.loc["d002", "phase"], dtype=np.float64),
         cold["phase"][0], rtol=1e-12,
     )
+
+
+# ---------------------------------------------------------------- check_fit
+def test_check_fit_flags_misfit_series():
+    """The in-loop quality gate (reference check_fit, kf/KF_class.py:319-333):
+    a series the model can track stays unflagged; a series with an abrupt
+    un-modeled level shift under tight noise flags — and the batch kernel's
+    flag/score match the dense explicit-matrix oracle exactly."""
+    from kfts_insar_spark.operators.kalman import (
+        KFConfig,
+        kalman_direct_batch,
+        kalman_direct_oracle,
+    )
+
+    M = 60
+    T = np.arange(M) / 365.25
+    rng = np.random.default_rng(7)
+    smooth = 5.0 + 30.0 * T + rng.normal(0, 0.05, M)
+    shifted = smooth.copy()
+    shifted[30:] += 400.0  # un-modeled jump ≫ noise
+    cfg = KFConfig(
+        model=[("POLY", 1)], sig_y=0.5, sig_i=0.1, sig_a=100.0, t_sep=4,
+        check_eps=5.0, check_win=5,
+    )
+    y = np.vstack([smooth, shifted])
+    res = kalman_direct_batch(y, T, cfg)
+    assert not bool(res["fit_flag"][0]), "well-modeled series must not flag"
+    assert bool(res["fit_flag"][1]), "level-shift series must flag"
+    for i, series in enumerate((smooth, shifted)):
+        ora = kalman_direct_oracle(series, T, cfg)
+        assert bool(res["fit_flag"][i]) == bool(ora["fit_flag"])
+        np.testing.assert_allclose(res["fit_max"][i], ora["fit_max"], rtol=1e-9)
+    # the score separates the two by orders of magnitude
+    assert res["fit_max"][1] > 10 * res["fit_max"][0]
+
+
+def test_check_fit_gap_steps_do_not_update_window(spark):
+    """Gap (forecast-only) steps carry no residual: a gappy series and its
+    dense restriction produce identical flags (the trailing window skips
+    unobserved steps, like the reference which only checks inside update)."""
+    from kfts_insar_spark.operators.kalman import (
+        KFConfig,
+        kalman_direct_batch,
+        kalman_fit_flags,
+    )
+    import pandas as pd
+
+    M = 40
+    T = np.arange(M) / 365.25
+    y = 10.0 + 50.0 * T
+    y_gappy = y.copy()
+    y_gappy[[7, 8, 15, 22, 23, 24]] = np.nan
+    cfg = KFConfig(
+        model=[("POLY", 1)], sig_y=0.5, sig_i=0.1, sig_a=100.0, t_sep=4,
+        check_eps=1e-6, check_win=3,  # eps tiny → both flag; scores compare
+    )
+    res = kalman_direct_batch(np.vstack([y, y_gappy]), T, cfg)
+    assert res["fit_flag"].dtype == bool
+    # distributed wrapper agrees with the kernel per doc
+    rows = []
+    for doc, series in (("a", y), ("b", y_gappy)):
+        for k in range(M):
+            if np.isfinite(series[k]):
+                rows.append((doc, k, float(T[k]), float(series[k])))
+    ser = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "step", "t", "value"])
+    )
+    got = (
+        kalman_fit_flags(ser, T, cfg, num_buckets=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc["a", "n_obs"] == M - 1
+    assert got.loc["b", "n_obs"] == M - 1 - 6
+    np.testing.assert_allclose(
+        got["fit_max"].to_numpy(), res["fit_max"], rtol=1e-12
+    )
+    assert list(got["fit_flag"]) == list(res["fit_flag"])
