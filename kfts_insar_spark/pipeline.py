@@ -569,13 +569,13 @@ class TierPipeline:
         recompute. The ingest watermark is preserved by property
         inheritance, so the next incremental run is unaffected.
 
-        The KF gap-filled tier is intentionally NOT restated here: its
-        state is a sequential recursion over history, so a restated past
-        requires a state rebuild from the correction point — run a fresh
-        gap-fill (cold state) when KF outputs over the corrected window
-        matter. (Reference analog: the update-mode restart re-processes
-        from stored state, kfts.py:252-330 — it equally cannot rewrite
-        already-consumed history in place.)
+        The KF gap-filled tier is NOT restated here: a raw-level
+        (source, bucket) correction cannot be attributed to the KF
+        stage's (source, doc-hash shard) sub-series without the
+        underlying documents. Use :meth:`correct_docs` — the
+        document-level restatement — when the pipeline runs with
+        gap-fill; it derives BOTH tiers' corrections from the corrected
+        documents and cold-rebuilds exactly the affected sub-series.
         """
         cor = corrections
         if "max_ies" not in cor.columns:
@@ -605,6 +605,169 @@ class TierPipeline:
             "rows": drows,
             "snapshots": {"raw": sid, **dsids},
         }
+
+    def correct_docs(self, spark: SparkSession, docs: DataFrame) -> dict:
+        """Document-level restatement: ``docs`` (base-table schema: doc_id,
+        n_tok, source, ingest_es) REPLACES the full document content of
+        every raw bucket it touches. From the corrected documents this
+        derives, in one pass over the (tiny) correction frame:
+
+        - the raw-tier corrections (shard-partial merge — the same salted
+          two-stage aggregation as ingest) → :meth:`correct_raw` upserts
+          them and recomputes the affected days' 1h/1d/compressed tiers;
+        - the series-tier corrections at (source, shard, bucket) → upsert
+          keyed on (source, bucket_es), i.e. WHOLESALE replacement of the
+          corrected buckets' shard rows (a shard whose docs vanished from
+          the bucket must lose its row, not keep a stale one);
+        - the affected (source, shard) sub-series — the union of shards
+          present at the corrected buckets before OR after the upsert —
+          whose Kalman recursions are then cold-rebuilt from the restated
+          series (:meth:`_rebuild_gapfill`). Untouched sub-series keep
+          their rows and state bit-for-bit.
+
+        Cost discipline at scale: the correction frame is metadata-sized,
+        tier rewrites are partition-granular copy-on-write, and the KF
+        rebuild runs only |affected pairs| ≤ sources × kf_shards
+        sub-series over the committed grid — never the whole tier.
+        """
+        docs = docs.persist()
+        try:
+            partial = rollup_series_partial(
+                docs, self.kf_shards, with_max_ingest=True
+            )
+            raw_cor = merge_shard_partials(partial, with_max_ingest=True)
+            res = self.correct_raw(spark, raw_cor)
+            if not self.run_gapfill:
+                return res
+            ser_cor = partial.select(
+                "source", "shard", "bucket_es", "sum_tok", "n_docs"
+            ).withColumn("pday", _pday())
+            keys = ser_cor.select("source", "bucket_es").distinct()
+            cur = self.series.read(spark)
+            pairs_df = ser_cor.select("source", "shard").distinct()
+            if cur is not None:
+                old_pairs = (
+                    cur.join(keys, ["source", "bucket_es"])
+                    .select("source", "shard")
+                    .distinct()
+                )
+                pairs_df = pairs_df.union(old_pairs).distinct()
+            # ≤ sources × kf_shards rows — metadata-scale by construction
+            pairs = [(r.source, int(r.shard)) for r in pairs_df.collect()]
+            sid_s = self.series.upsert(
+                spark,
+                ser_cor,
+                key_cols=["source", "bucket_es"],
+                partition_by=["pday"],
+                coalesce=4,
+                stats_cols=["bucket_es"],
+            )
+            self.log.record(
+                "tier_series_restate",
+                sid_s,
+                int(self.series.property("watermark_es", -1)),
+                self.series.manifest()["files"],
+                self.series.last_commit_rows(),
+            )
+            n_reb = self._rebuild_gapfill(spark, pairs)
+            res["rebuilt_subseries"] = len(pairs)
+            res["rows"]["gap_rebuilt"] = n_reb
+            return res
+        finally:
+            docs.unpersist()
+
+    def _rebuild_gapfill(self, spark: SparkSession, pairs: list) -> int:
+        """Cold-rebuild the KF gap-fill for the given (source, shard)
+        sub-series from the restated series tier over the COMMITTED grid
+        [grid_lo, k_done): fresh state (no init), full-history re-emit,
+        copy-on-write upsert into the gap tier keyed on (source, shard),
+        and a state-table row replacement for exactly those docs. The
+        watermark/grid properties are inherited unchanged — a correction
+        never advances ingest progress.
+
+        (Reference analog: restating consumed history is impossible in
+        update mode, kfts.py:252-330 — the reference would re-run the
+        whole stack; here the rebuild is confined to the sub-series the
+        correction actually touched.)
+        """
+        import numpy as np
+
+        lo = self.kf_state.property("grid_lo")
+        if lo is None or not pairs:
+            return 0
+        lo = int(lo)
+        m = int(self.kf_state.property("k_done", 0))
+        t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
+        keys = [f"{s}/{sh}" for s, sh in pairs]
+        ser = (
+            self.series.read(spark)
+            .withColumn("doc_id", F.concat_ws("/", "source", "shard"))
+            .filter(F.col("doc_id").isin(keys))
+            .filter(F.col("bucket_es") >= F.lit(lo))
+        )
+        step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
+        ent = F.array_sort(F.collect_list(F.struct(F.col("step"), F.col("value"))))
+        wide = (
+            ser.select(
+                "doc_id",
+                step.alias("step"),
+                F.col("sum_tok").cast("double").alias("value"),
+            )
+            .groupBy("doc_id")
+            .agg(ent.alias("_e"))
+            .select(
+                "doc_id",
+                F.transform(F.col("_e"), lambda s: s["step"]).alias("steps"),
+                F.transform(F.col("_e"), lambda s: s["value"]).alias("vals"),
+            )
+        )
+        combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
+        try:
+            out = explode_kf_output(combined, t_grid)
+            src_shard = F.split(F.col("doc_id"), "/")
+            rows = (
+                out.filter(F.col("phase").isNotNull() & ~F.isnan("phase"))
+                .select(
+                    F.element_at(src_shard, 1).alias("source"),
+                    F.element_at(src_shard, 2).cast("int").alias("shard"),
+                    (
+                        F.lit(lo) + F.col("step").cast("long") * F.lit(RAW_SECONDS)
+                    ).alias("bucket_es"),
+                    "phase",
+                    "std",
+                    F.when(F.isnan("innov"), F.lit(None)).otherwise(
+                        F.col("innov")
+                    ).alias("innov"),
+                    "gap_filled",
+                )
+                .withColumn("pday", _pday())
+            )
+            sid = self.gap.upsert(
+                spark,
+                rows,
+                key_cols=["source", "shard"],
+                partition_by=["pday"],
+                coalesce=4,
+                stats_cols=["bucket_es"],
+            )
+            n_rows = self.gap.last_commit_rows()
+            new_state = combined.select("doc_id", "k_done", "idx0", "m", "P")
+            st = self.kf_state.read(spark)
+            if st is not None:
+                new_state = st.filter(~F.col("doc_id").isin(keys)).unionByName(
+                    new_state
+                )
+            self.kf_state.overwrite_all(new_state)
+        finally:
+            combined.unpersist()
+        self.log.record(
+            "tier_gapfilled_rebuild",
+            sid,
+            int(self.gap.property("watermark_es", -1)),
+            self.gap.manifest()["files"],
+            n_rows,
+        )
+        return n_rows
 
     # ------------------------------------------------------------ retention
     def expire_raw_before(self, cutoff_es: int) -> int:

@@ -359,7 +359,7 @@ class SnapshotTable:
                     )
                 keep = cur.select(*cols).join(
                     df.select(*key_cols).distinct(), key_cols, "left_anti"
-                )
+                ).select(*cols)  # join() fronts the key cols — restore order
                 merged = keep.unionByName(df)
             else:
                 merged = df

@@ -447,3 +447,74 @@ def test_schema_evolution_read(spark, tmp_path):
     assert rows[1] is None and rows[2] is None  # NULL backfill
     old = t.read(spark, snapshot_id=sid0, merge_schema=True)
     assert "quality" not in old.columns  # time travel: pre-evolution schema
+
+
+def test_correct_docs_rebuilds_affected_gapfill(spark, seq, tmp_path):
+    """Document-level restatement: correct_docs must leave every tier —
+    including the KF gap-filled tier and the state table — bit-identical
+    to a cold pipeline run on the corrected input, while touching only
+    the affected (source, shard) sub-series' state."""
+    from kfts_insar_spark.operators.rollup import RAW_SECONDS
+
+    pipe = TierPipeline(str(tmp_path / "a"), kf_shards=4)
+    pipe.run(spark, seq)
+    state_before = {
+        r.doc_id: (r.k_done, r.idx0, tuple(r.m))
+        for r in pipe.read_tier(spark, "state").collect()
+    }
+
+    # victim: one document; the correction replaces its whole raw bucket's
+    # docs with the victim's n_tok bumped
+    victim = seq.orderBy("doc_id").first()
+    vb = (victim.ingest_es // RAW_SECONDS) * RAW_SECONDS
+    bucket_docs = seq.filter(
+        (F.col("source") == victim.source)
+        & ((F.col("ingest_es") / RAW_SECONDS).cast("long") * RAW_SECONDS == vb)
+    )
+    cor_docs = bucket_docs.withColumn(
+        "n_tok",
+        F.when(F.col("doc_id") == victim.doc_id, F.col("n_tok") + 500).otherwise(
+            F.col("n_tok")
+        ),
+    )
+    res = pipe.correct_docs(spark, cor_docs)
+    assert res["status"] == "restated"
+    assert res["rebuilt_subseries"] >= 1
+    assert res["rows"]["gap_rebuilt"] > 0
+
+    # cold pipeline on the corrected input
+    seq_cor = seq.withColumn(
+        "n_tok",
+        F.when(F.col("doc_id") == victim.doc_id, F.col("n_tok") + 500).otherwise(
+            F.col("n_tok")
+        ),
+    )
+    cold = TierPipeline(str(tmp_path / "b"), kf_shards=4)
+    cold.run(spark, seq_cor)
+
+    for tier in ("raw", "1h", "1d", "series", "gapfilled"):
+        assert _tier_rows(spark, pipe, tier) == _tier_rows(spark, cold, tier), tier
+
+    # state: affected sub-series equal the cold run's; untouched sub-series
+    # keep their exact pre-correction rows
+    state_after = {
+        r.doc_id: (r.k_done, r.idx0, tuple(r.m))
+        for r in pipe.read_tier(spark, "state").collect()
+    }
+    state_cold = {
+        r.doc_id: (r.k_done, r.idx0, tuple(r.m))
+        for r in cold.read_tier(spark, "state").collect()
+    }
+    assert state_after == state_cold
+    affected = {
+        f"{victim.source}/{r.shard}"
+        for r in cor_docs.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("shard")
+        ).distinct().collect()
+    }
+    for doc, st in state_after.items():
+        if doc not in affected:
+            assert st == state_before[doc], f"untouched {doc} state changed"
+
+    # correction preserved the watermark → replay is still a noop
+    assert pipe.run(spark, seq_cor)["status"] == "noop"
