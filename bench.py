@@ -280,6 +280,31 @@ def main() -> None:
 
     timed("q_compress", compress)
 
+    # --- decode throughput: read a materialized compressed tier and run the
+    # lockstep Gorilla decoder over every chunk (the deep-read path that
+    # serves history after raw/1h retention expiry — seq_compressed_
+    # readthrough's oldest band). Input materialized once (untimed): a
+    # fine-grained raw tier (1 doc per ingest slot → ~10× points) packed in
+    # 6 h chunks.
+    decode_cache = f"/tmp/bench_comp_{n_docs}"
+    if not os.path.exists(decode_cache + "/_SUCCESS"):
+        compress_tier(
+            rollup_raw(
+                sequences(
+                    spark, n_docs * 10, docs_per_batch=1, partitions=CPUS * 2
+                ),
+                salt_buckets=CPUS,
+            ),
+            chunk_seconds=6 * 3600,
+        ).write.mode("overwrite").parquet(decode_cache)
+
+    def decode():
+        from kfts_insar_spark.operators.compress import decompress_tier
+
+        return decompress_tier(spark.read.parquet(decode_cache)).count()
+
+    timed("q_decode", decode)
+
     # --- kalman gap-fill kernel
     M = 92
     t_grid = np.arange(M) * 12.0 / 365.25
@@ -372,6 +397,11 @@ def main() -> None:
         # Gorilla tier storage: codec bytes per (ts, value) point vs the
         # 16 B/point raw form (pooled-window chunk encoder)
         "compress_bytes_per_point": round(comp_box[0] / max(comp_box[1], 1), 3),
+        # lockstep Gorilla decode of the materialized compressed tier —
+        # the deep-read path's throughput (points decoded per second)
+        "decode_points_per_sec": round(
+            counts["q_decode"] / timings["q_decode"], 1
+        ),
         "ingest_docs_per_sec": round(n_docs / timings["q_tiers"], 1),
         "rollup_docs_per_sec": round(big_docs / timings["q_rollup_direct"], 1),
         "kalman_points_per_sec": round(

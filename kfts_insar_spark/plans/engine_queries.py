@@ -355,6 +355,53 @@ def q_seq_tiered_readthrough(spark, sf_dir):
     )
 
 
+def q_seq_compressed_readthrough(spark, sf_dir):
+    """The DEEP read path: the oldest band of the tiered readthrough is
+    served FROM THE GORILLA-COMPRESSED TIER — chunk-level pruning first
+    (the filter hits the compressed rows' chunk key, so only old chunks
+    are ever decoded), then the lockstep vectorized decoder, then an
+    on-the-fly day cascade of the decoded points. Newest day from raw,
+    previous four days from 1h, everything older decoded from the codec.
+
+    This is the query shape that makes the compressed tier a TIER rather
+    than an archive: retention can expire raw/1h partitions and history
+    stays queryable through the codec. Value-exactness vs the plain SQL
+    replay proves decode-then-aggregate ≡ aggregate-then-never-encode.
+    Decoded values are integer-valued doubles (< 2^53), so the day sums
+    are order-independent exact and cast back to long."""
+    from ..operators.rollup import bucket as _bucket
+
+    raw = rollup_raw(_seq(spark, sf_dir))
+    hi = raw.agg(F.max("bucket_es")).first()[0]
+    c1 = (int(hi) // DAY_SECONDS) * DAY_SECONDS
+    c2 = c1 - 4 * DAY_SECONDS
+    h1 = rollup_cascade(raw, HOUR_SECONDS)
+    comp = compress_tier(raw)  # day-aligned chunks (CHUNK_SECONDS = 86400)
+    old = decompress_tier(comp.filter(F.col("bucket_es") < F.lit(c2)))
+    old_1d = (
+        old.groupBy(
+            "source", _bucket("bucket_es", DAY_SECONDS).alias("bucket_es")
+        )
+        .agg(F.sum("value").cast("long").alias("sum_tok"))
+        .select(
+            F.lit("1d").alias("tier"), "source", "bucket_es", "sum_tok"
+        )
+    )
+    band = lambda df, tier, cond: df.filter(cond).select(  # noqa: E731
+        F.lit(tier).alias("tier"),
+        "source",
+        "bucket_es",
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+    )
+    return (
+        band(raw, "raw", F.col("bucket_es") >= c1)
+        .unionByName(
+            band(h1, "1h", (F.col("bucket_es") >= c2) & (F.col("bucket_es") < c1))
+        )
+        .unionByName(old_1d)
+    )
+
+
 VOCAB_TOPK = 50
 
 
@@ -484,6 +531,7 @@ QUERIES = {
     "kf_resume_consistency": q_kf_resume_consistency,
     "kf_check_fit": q_kf_check_fit,
     "seq_tiered_readthrough": q_seq_tiered_readthrough,
+    "seq_compressed_readthrough": q_seq_compressed_readthrough,
     "tok_vocab_topk": q_tok_vocab_topk,
     "tok_rarity_score": q_tok_rarity_score,
     "seq_pack_bins": q_seq_pack_bins,
@@ -606,6 +654,37 @@ FROM h1 WHERE bucket_es >= (SELECT c1 - 4 * {DAY_SECONDS} FROM g)
          AND bucket_es < (SELECT c1 FROM g)
 UNION ALL
 SELECT '1d', source, bucket_es, n_docs, sum_tok, min_tok, max_tok
+FROM d1 WHERE bucket_es < (SELECT c1 - 4 * {DAY_SECONDS} FROM g)
+""",
+    "seq_compressed_readthrough": f"""
+WITH seq AS ({_oracle_seq()}),
+raw AS (
+  SELECT source,
+         CAST((ingest_es // {RAW_SECONDS}) * {RAW_SECONDS} AS BIGINT) AS bucket_es,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok
+  FROM seq GROUP BY 1, 2
+),
+g AS (SELECT (max(bucket_es) // {DAY_SECONDS}) * {DAY_SECONDS} AS c1 FROM raw),
+h1 AS (
+  SELECT source,
+         CAST((bucket_es // {HOUR_SECONDS}) * {HOUR_SECONDS} AS BIGINT) AS bucket_es,
+         CAST(sum(sum_tok) AS BIGINT) AS sum_tok
+  FROM raw GROUP BY 1, 2
+),
+d1 AS (
+  SELECT source,
+         CAST((bucket_es // {DAY_SECONDS}) * {DAY_SECONDS} AS BIGINT) AS bucket_es,
+         CAST(sum(sum_tok) AS BIGINT) AS sum_tok
+  FROM raw GROUP BY 1, 2
+)
+SELECT 'raw' AS tier, source, bucket_es, sum_tok
+FROM raw WHERE bucket_es >= (SELECT c1 FROM g)
+UNION ALL
+SELECT '1h', source, bucket_es, sum_tok
+FROM h1 WHERE bucket_es >= (SELECT c1 - 4 * {DAY_SECONDS} FROM g)
+         AND bucket_es < (SELECT c1 FROM g)
+UNION ALL
+SELECT '1d', source, bucket_es, sum_tok
 FROM d1 WHERE bucket_es < (SELECT c1 - 4 * {DAY_SECONDS} FROM g)
 """,
     "tok_vocab_topk": f"""
