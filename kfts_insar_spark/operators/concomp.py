@@ -25,9 +25,16 @@ edge set contracts toward a star forest in O(log n) rounds. Per-round
 ``localCheckpoint`` truncates the lineage — without it the plan doubles
 every iteration and analysis cost explodes.
 
-Convergence is detected by an edge-set fixpoint (symmetric-difference count
-== 0), which the algorithm guarantees to reach; ``max_iter`` bounds the
-loop defensively.
+Convergence is detected by an edge-set SIGNATURE fixpoint — one aggregate
+job per round computing (count, sum of xxhash64(u, v)) over the (distinct)
+edge set and comparing with the previous round's signature. The signature
+is order-independent and equal edge sets always produce equal signatures;
+a false positive needs a 64-bit hash-sum collision between *different*
+consecutive edge sets (~2⁻⁶⁴ per round — and the groupBy-min labeling
+below degrades gracefully even then). This replaces the earlier two
+``exceptAll().limit(1).count()`` probes, halving the per-round bookkeeping
+jobs and removing their sort-based set-difference shuffles; ``max_iter``
+bounds the loop defensively.
 """
 
 from __future__ import annotations
@@ -89,17 +96,21 @@ def connected_components(
     nodes = edges.select("u").union(edges.select("v")).distinct()
 
     prev = edges
+    prev_sig = None
     for _ in range(max_iter):
         nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-        # fixpoint: symmetric difference empty (cheap — edge sets shrink
-        # toward |nodes| − |components| long before convergence)
-        changed = (
-            nxt.exceptAll(prev).limit(1).count()
-            + prev.exceptAll(nxt).limit(1).count()
-        )
+        # fixpoint via order-independent signature: ONE aggregate job over
+        # the checkpointed (memory-resident) edges — vs two sort-shuffle
+        # exceptAll probes per round previously
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        sig = (row.n, row.h)
         prev = nxt
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     # star forest: (node → root) edges; roots appear only on the v side.
     # groupBy-min instead of a bare join: robust even if max_iter stopped
     # the loop one round short of the exact fixpoint.

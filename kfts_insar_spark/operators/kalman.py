@@ -210,6 +210,11 @@ def kalman_direct_batch(
 
     L_trace = np.full(M, -1, dtype=np.int32)
 
+    # LISEG a-priori adjustment schedule (reference adjust_apriori):
+    # at flagged steps the next segment's slope re-inits from the previous
+    # segment's current estimate, before the predict
+    lsteps, l1, l2 = liseg_adjust_schedule(model, t)
+
     # check_fit state: ring buffer of the last check_win observed weighted
     # post-fit residuals per doc (O(B·W) — negligible next to the P update)
     W = max(1, int(cfg.check_win))
@@ -246,6 +251,13 @@ def kalman_direct_batch(
                 live[j] = True
                 L_live += 1
                 n += 1
+
+        # ---- LISEG segment hand-off (kf/KF_class.py:523-525): mean-only
+        # substitution m[i2] = m[i1], full-model indices mapped to live
+        # positions (LISEG params are always live; growth inserts shift them)
+        if k in lsteps:
+            posmap = np.cumsum(live) - 1
+            X[:, posmap[l2]] = X[:, posmap[l1]]
 
         b = bas[k][live] if grow else bas[k]  # (L_live,)
         # ---- predict: append model-forecast phase (blocked A = [[I],[b,0…]])
@@ -387,6 +399,8 @@ def kalman_direct_oracle(
     fit_flag = False
     fit_max = 0.0
 
+    lsteps, l1, l2 = liseg_adjust_schedule(model, t)
+
     for k in range(1, M):
         if grow:
             for j in np.flatnonzero((arr <= k) & ~live):
@@ -398,6 +412,11 @@ def kalman_direct_oracle(
                 )
                 live[j] = True
                 L_live += 1
+        # LISEG segment hand-off (kf/KF_class.py:523-525), mean-only
+        if k in lsteps:
+            posmap = np.cumsum(live) - 1
+            for j1, j2 in zip(l1, l2):
+                m[posmap[j2]] = m[posmap[j1]]
         n = len(m)
         A = np.vstack([np.eye(n), np.zeros(n)])
         A[n, :L_live] = basis_row(model, float(t[k]))[live]
@@ -455,6 +474,70 @@ def kalman_direct_oracle(
         "fit_flag": fit_flag,
         "fit_max": fit_max,
     }
+
+
+def liseg_adjust_schedule(
+    model: Model, t: np.ndarray
+) -> tuple[set, np.ndarray, np.ndarray]:
+    """The LISEG a-priori adjustment schedule (reference ``adjust_apriori``,
+    kfts.py:222-249 + its consumer kf/KF_class.py:523-525): for each LISEG
+    element with ≥ 2 slopes, flag the first grid step strictly after each
+    segment boundary from the second one on, pairing the previous
+    segment's slope index with the next's. At a flagged step the filter
+    sets m[i2] = m[i1] BEFORE the predict — the next segment's slope
+    starts from the previous segment's current estimate instead of the
+    null init (the reference's covariance substitution is commented out
+    there; we replicate the shipped mean-only form, including the quirk
+    that ALL pairs re-substitute at EVERY flagged time).
+
+    Returns (flag_steps, i1, i2) with i1/i2 FULL-MODEL param indices
+    (mapped to live positions at run time when lazy growth is active)."""
+    base = 0
+    steps: set = set()
+    l1: list[int] = []
+    l2: list[int] = []
+    t = np.asarray(t, dtype=np.float64)
+    for mod in model:
+        if mod[0] == "LISEG":
+            idx = list(range(base, base + len(mod)))
+            if len(idx) > 2:
+                for i, tb in enumerate(mod[2:]):
+                    after = np.flatnonzero(t > float(tb))
+                    if len(after) == 0:
+                        continue
+                    steps.add(int(after[0]))
+                    l1.append(idx[i + 1])
+                    l2.append(idx[i + 2])
+        base += n_params([mod])
+    return steps, np.asarray(l1, dtype=np.int64), np.asarray(l2, dtype=np.int64)
+
+
+def liseg_prior_columns(model: Model, sig_a: float, seg_sigmas: list):
+    """Per-doc a-priori variance array for LISEG models feeding the
+    kernel's ``p0_diag`` (the LISEG counterpart of
+    :func:`earthquake_prior_columns`; reference per-param ``sig_a`` list,
+    kfts.py:117-129,211): non-LISEG params keep sig_a²; within each LISEG
+    element the constant a0 keeps sig_a² and segment slope j takes
+    ``seg_sigmas[j]²``. A ZERO sigma pins that segment's slope at its
+    initialization ("parameter not optimized" — same convention as the
+    earthquake prior's sub-threshold zeros). Entries are floats or
+    Columns (per-doc priors — the J4 broadcast shape)."""
+    from pyspark.sql import Column
+
+    cols = []
+    for mod in model:
+        if mod[0] == "LISEG":
+            nseg = len(mod) - 1
+            cols.append(F.lit(float(sig_a) ** 2))  # the constant a0
+            for j in range(nseg):
+                s = seg_sigmas[j]
+                s = s if isinstance(s, Column) else F.lit(float(s))
+                cols.append(s * s)
+        else:
+            cols.extend(
+                F.lit(float(sig_a) ** 2) for _ in range(n_params([mod]))
+            )
+    return F.array(*cols)
 
 
 def earthquake_prior_columns(

@@ -325,6 +325,49 @@ FROM d
 """
 
 
+LISEG_MODEL = [("POLY", 0), ("LISEG", 1.0, 4.0, 7.0)]
+
+
+def q_liseg_p0_patch(spark, sf_dir):
+    """Per-doc LISEG a-priori P0 vector (reference per-param sig_a wiring,
+    kfts.py:117-129,211 — the liseg_prior_columns builder): model =
+    POLY(0) + LISEG with 3 segment slopes; slope j's sigma derives from
+    the doc id deterministically, with (doc + j) % 3 == 0 segments PINNED
+    (zero a-priori variance → the kernel never optimizes them). Pure
+    integer/dyadic arithmetic — value-exact in both engines."""
+    from ..operators.kalman import liseg_prior_columns
+
+    docs = spark.range(2000).select(F.col("id").alias("doc"))
+    seg = [
+        F.when((F.col("doc") + j) % 3 == 0, F.lit(0.0)).otherwise(
+            F.lit(20.0 + j)
+        )
+        for j in range(3)
+    ]
+    p0 = liseg_prior_columns(LISEG_MODEL, sig_a=30.0, seg_sigmas=seg)
+    return docs.select(
+        "doc",
+        F.element_at(p0, 1).alias("p0_poly"),
+        F.element_at(p0, 2).alias("p0_a0"),
+        F.element_at(p0, 3).alias("p0_s1"),
+        F.element_at(p0, 4).alias("p0_s2"),
+        F.element_at(p0, 5).alias("p0_s3"),
+    )
+
+
+def _liseg_p0_sql() -> str:
+    segs = ", ".join(
+        f"CAST(CASE WHEN (doc + {j}) % 3 = 0 THEN 0.0"
+        f" ELSE {(20.0 + j)!r} * {(20.0 + j)!r} END AS DOUBLE) AS p0_s{j + 1}"
+        for j in range(3)
+    )
+    return f"""
+SELECT doc, CAST(900.0 AS DOUBLE) AS p0_poly, CAST(900.0 AS DOUBLE) AS p0_a0,
+       {segs}
+FROM (SELECT i AS doc FROM range(0, 2000) t(i))
+"""
+
+
 def q_trig_shift_rotation(spark, sf_dir):
     """SIN/COS time-origin rotation (F7, reference shift_t0
     kf/timefunction.py:320-401): per-doc dyadic coefficients rotated to a
@@ -553,6 +596,7 @@ QUERIES = {
     "amp_phase_errprop": q_amp_phase_errprop,
     "trig_shift_rotation": q_trig_shift_rotation,
     "earthquake_p0_patch": q_earthquake_p0_patch,
+    "liseg_p0_patch": q_liseg_p0_patch,
     "pivot_user_event_types": q_pivot_user_event_types,
     "cube_pricing": q_cube_pricing,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
@@ -644,6 +688,7 @@ FROM docs CROSS JOIN grid
     "amp_phase_errprop": _AMP_PHASE_ERRPROP_SQL,
     "trig_shift_rotation": _trig_shift_sql(),
     "earthquake_p0_patch": _eq_p0_sql(),
+    "liseg_p0_patch": _liseg_p0_sql(),
     "pivot_user_event_types": """
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -509,18 +509,78 @@ def q_emb_lsh_topk(spark, sf_dir):
 
 IVF_CELLS = 16  # coarse-quantizer size
 IVF_NPROBE = 4  # cells probed per query
+IVF_ITERS = 2  # Lloyd training iterations (integer-exact)
+
+
+def _ivf_train(n, dot):
+    """Train the IVF coarse quantizer: IVF_ITERS Lloyd iterations in EXACT
+    integer arithmetic, expressed as DataFrame aggregations.
+
+    init = the first IVF_CELLS quantized vectors (deterministic); each
+    iteration assigns every vector to its nearest centroid by integer
+    ||q−c||² (ties → lowest cell) and recomputes centroids element-wise as
+    ``sum div count`` (truncating integer division — identical semantics
+    in Spark ``div`` and DuckDB ``//``, verified on negatives). A cell
+    that lost all members keeps its previous centroid. The element-wise
+    update is a posexplode → groupBy(cell, dim) partial aggregation —
+    corpus×dim rows map-side-combine down to cells×dim, the scale-correct
+    shape (never a collect_list of member vectors).
+
+    Scale contract (documented per the round-2 review): cells×dim must
+    stay broadcast-sized — assignment cross-joins each vector against the
+    broadcast centroid table, cost corpus × IVF_CELLS dot products per
+    iteration."""
+    from pyspark.sql import Window as W
+
+    cents = n.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("q").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    w_v = W.partitionBy("vec_id").orderBy("d2", "cell")
+    for _ in range(IVF_ITERS):
+        d2 = F.col("n2") + F.col("cn2") - 2 * dot(F.col("q"), F.col("cv"))
+        asn = (
+            n.join(F.broadcast(cents), how="cross")
+            .select("vec_id", "q", "cell", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w_v))
+            .filter(F.col("rk") == 1)
+        )
+        upd = (
+            asn.select("cell", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .withColumn("cd", F.expr("s div c"))
+        )
+        newc = (
+            upd.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))).alias("_e")
+            )
+            .select(
+                "cell", F.transform(F.col("_e"), lambda s: s["cd"]).alias("cv2")
+            )
+        )
+        cv = F.coalesce("cv2", "cv")
+        cents = (
+            cents.join(newc, "cell", "left")
+            .select("cell", cv.alias("cv"))
+            .select("cell", "cv", dot(F.col("cv"), F.col("cv")).alias("cn2"))
+        )
+    return cents
 
 
 def q_emb_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours — the inverted-file scale path
-    next to the sign-LSH variant: a small coarse quantizer (IVF_CELLS
-    centroids; deterministically seeded from the first vectors, standing in
-    for trained centroids) partitions the corpus by nearest centroid, each
-    query probes its IVF_NPROBE nearest cells, and exact quantized cosine
-    ranks the candidates (top-3). All assignment math is integer
-    (||q−c||² = |q|² + |c|² − 2·q·c) → value-exact vs the oracle. At 10^12
-    vectors the cell equi-join scans nprobe/cells of the corpus instead of
-    all of it."""
+    next to the sign-LSH variant: a TRAINED coarse quantizer (IVF_CELLS
+    centroids, IVF_ITERS integer-exact Lloyd iterations — `_ivf_train`)
+    partitions the corpus by nearest centroid, each query probes its
+    IVF_NPROBE nearest cells, and exact quantized cosine ranks the
+    candidates (top-3). All assignment/training math is integer
+    (||q−c||² = |q|² + |c|² − 2·q·c; centroid update = sum div count) →
+    value-exact vs the oracle, which unrolls the same iterations in SQL.
+    At 10^12 vectors the cell equi-join scans nprobe/cells of the corpus
+    instead of all of it."""
     from pyspark.sql import Window as W
 
     e = load(spark, sf_dir, "embeddings").select(
@@ -532,11 +592,7 @@ def q_emb_ivf_topk(spark, sf_dir):
         lambda a, v: a + v,
     )
     n = e.select("vec_id", "q", dot(F.col("q"), F.col("q")).alias("n2"))
-    cents = n.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.col("q").alias("cv"),
-        F.col("n2").alias("cn2"),
-    )
+    cents = _ivf_train(n, dot)
     # assignment: nearest centroid per vector (ties → lowest cell id)
     d2 = F.col("n2") + F.col("cn2") - 2 * dot(F.col("q"), F.col("cv"))
     w_v = W.partitionBy("vec_id").orderBy("d2", "cell")
@@ -936,6 +992,10 @@ SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
   FROM pairs
 ) WHERE rk <= 5
 """,
+    # the training CTE chain mirrors _ivf_train's iterations exactly:
+    # assignment by integer d², element-wise `sum // count` update (DuckDB
+    # `//` truncates toward zero like Spark `div`), empty cells coalesce to
+    # their previous centroid
     "emb_ivf_topk": (lambda _dot: f"""
 WITH q AS (
   SELECT vec_id,
@@ -948,7 +1008,31 @@ n AS (
            list_transform(qv, x -> x * x)), (acc, v) -> acc + v) AS n2
   FROM q
 ),
-cents AS (SELECT vec_id AS cell, qv AS cv, n2 AS cn2 FROM n WHERE vec_id < {IVF_CELLS}),
+cents0 AS (SELECT vec_id AS cell, qv AS cv, n2 AS cn2 FROM n WHERE vec_id < {IVF_CELLS}),
+{",".join(f'''
+tasn{it} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT nn.vec_id, nn.qv, c.cell,
+           row_number() OVER (PARTITION BY nn.vec_id
+             ORDER BY nn.n2 + c.cn2 - 2 * {_dot('nn.qv', 'c.cv')}, c.cell) AS rk
+    FROM n nn CROSS JOIN cents{it} c
+  ) WHERE rk = 1
+),
+upd{it} AS (
+  SELECT cell, i, CAST(sum(qv[i]) // count(*) AS BIGINT) AS cd
+  FROM tasn{it}, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY cell, i
+),
+newc{it} AS (SELECT cell, list(cd ORDER BY i) AS cv2 FROM upd{it} GROUP BY cell),
+cents{it + 1} AS (
+  SELECT p.cell,
+         coalesce(nc.cv2, p.cv) AS cv,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(coalesce(nc.cv2, p.cv), x -> x * x)),
+           (acc, v) -> acc + v) AS cn2
+  FROM cents{it} p LEFT JOIN newc{it} nc USING (cell)
+)''' for it in range(IVF_ITERS))},
+cents AS (SELECT * FROM cents{IVF_ITERS}),
 asn AS (
   SELECT vec_id, qv, n2, cell FROM (
     SELECT nn.vec_id, nn.qv, nn.n2, c.cell,

@@ -403,6 +403,48 @@ class SnapshotTable:
             os.remove(os.path.join(self.path, "manifests", f"{s['snapshot_id']}.json"))
         return {"removed_files": removed, "removed_snapshots": len(drop)}
 
+    def remove_orphans(self, older_than_seconds: float = 86400.0) -> dict:
+        """Delete files under ``data/`` referenced by NO retained snapshot
+        manifest (Iceberg ``remove_orphan_files``): the debris of commits
+        that failed between the data write and the manifest swap — a
+        crashed job, or a :class:`ConcurrentCommitError` loser whose files
+        landed but were never listed anywhere. :meth:`vacuum` cannot reach
+        these (it walks manifests; orphans are in none).
+
+        ``older_than_seconds`` is the in-flight-writer guard: a file
+        younger than the grace window is never touched, because a
+        concurrent writer holds exactly this state between its
+        ``_write_files`` and its commit (Iceberg's default grace is 3
+        days; ours 1 — tune to the longest plausible write job). Empty
+        ``data/<sid>/`` scratch dirs left behind are pruned too."""
+        import time
+
+        live = {e["path"] for s in self.snapshots() for e in s["files"]}
+        cutoff = time.time() - older_than_seconds
+        removed = 0
+        removed_bytes = 0
+        droot = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(droot, topdown=False):
+            for f in files:
+                full = os.path.join(root, f)
+                if full in live:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                    sz = os.path.getsize(full)
+                    os.remove(full)
+                except FileNotFoundError:
+                    continue
+                removed += 1
+                removed_bytes += sz
+            if root != droot:
+                try:
+                    os.rmdir(root)  # only succeeds when empty
+                except OSError:
+                    pass
+        return {"removed_files": removed, "removed_bytes": removed_bytes}
+
     def compact(
         self,
         spark: SparkSession,

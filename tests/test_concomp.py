@@ -78,3 +78,45 @@ def test_string_node_ids(spark):
         "docX": "docX",
         "docY": "docX",
     }
+
+
+def test_fixpoint_probe_cheaper_than_exceptall(spark):
+    """The convergence probe must cost fewer driver jobs than the
+    two-sided exceptAll form it replaced: on the same pair of
+    checkpointed edge frames, the (count, hash-sum) signature runs ONE
+    aggregate job; the old probe ran two sort-based set differences."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"u": list(range(50)), "v": list(range(1, 51))})
+    ).localCheckpoint(eager=True)
+    b = spark.createDataFrame(
+        pd.DataFrame({"u": list(range(50)), "v": [0] * 50})
+    ).localCheckpoint(eager=True)
+    st = spark.sparkContext.statusTracker()
+
+    j0 = len(st.getJobIdsForGroup(None))
+    b.agg(F.count(F.lit(1)), F.sum(F.xxhash64("u", "v"))).first()
+    new_jobs = len(st.getJobIdsForGroup(None)) - j0
+
+    j0 = len(st.getJobIdsForGroup(None))
+    b.exceptAll(a).limit(1).count()
+    a.exceptAll(b).limit(1).count()
+    old_jobs = len(st.getJobIdsForGroup(None)) - j0
+
+    assert new_jobs < old_jobs, (new_jobs, old_jobs)
+    assert new_jobs <= 2  # one aggregate (AQE may add a final stage job)
+
+
+def test_signature_probe_converges_path_graph(spark):
+    """A worst-case path graph still converges to one component under the
+    signature fixpoint (no early stop, no infinite loop)."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": list(range(63)), "b": list(range(1, 64))})
+    )
+    out = connected_components(pairs, "a", "b")
+    got = {r.node: r.component for r in out.collect()}
+    assert set(got.values()) == {0} and len(got) == 64

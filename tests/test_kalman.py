@@ -570,3 +570,63 @@ def test_check_fit_gap_steps_do_not_update_window(spark):
         got["fit_max"].to_numpy(), res["fit_max"], rtol=1e-12
     )
     assert list(got["fit_flag"]) == list(res["fit_flag"])
+
+
+# ------------------------------------------------------------------- LISEG
+def test_liseg_pinned_segment_stays_pinned():
+    """p0_diag wiring for LISEG: a slope with ZERO a-priori variance never
+    moves off its init (the update can't touch a zero-covariance param),
+    while the unpinned run tracks the trend."""
+    from kfts_insar_spark.operators.kalman import KFConfig, kalman_direct_batch
+
+    M = 40
+    T = np.arange(M) / 4.0
+    y = (2.5 * T + 1.0).reshape(1, -1)  # strong linear trend
+    cfg = KFConfig(
+        model=[("LISEG", 0.0)], sig_y=0.1, sig_i=0.05, sig_a=50.0, t_sep=4,
+    )
+    # params: [a0, s1]; pin the slope
+    pinned = kalman_direct_batch(
+        y, T, cfg, p0_diag=np.array([[50.0**2, 0.0]])
+    )
+    free = kalman_direct_batch(y, T, cfg)
+    assert abs(pinned["m"][0][1]) < 1e-12, "pinned slope moved"
+    assert abs(free["m"][0][1] - 2.5) < 0.2, "free slope should track trend"
+
+
+def test_liseg_segment_handoff_matches_oracle():
+    """The adjust_apriori hand-off (next segment's slope re-inits from the
+    previous segment's estimate at the flagged step): batch kernel ==
+    dense explicit-matrix oracle, and removing the boundary changes the
+    result (proving the hand-off fires)."""
+    from kfts_insar_spark.operators.kalman import (
+        KFConfig,
+        kalman_direct_batch,
+        kalman_direct_oracle,
+        liseg_adjust_schedule,
+    )
+
+    M = 48
+    T = np.arange(M) / 4.0
+    # piecewise-linear truth: slope 2 then slope -1 after t=5
+    y = np.where(T <= 5.0, 2.0 * T, 10.0 - (T - 5.0))
+    cfg = KFConfig(
+        model=[("LISEG", 0.0, 5.0)], sig_y=0.2, sig_i=0.1, sig_a=30.0, t_sep=4,
+    )
+    steps, l1, l2 = liseg_adjust_schedule(cfg.model, T)
+    assert steps and list(l1) == [1] and list(l2) == [2]
+    res = kalman_direct_batch(y.reshape(1, -1), T, cfg)
+    ora = kalman_direct_oracle(y, T, cfg)
+    np.testing.assert_allclose(res["phase"][0], ora["phase"], rtol=1e-9)
+    np.testing.assert_allclose(res["m"][0], ora["m"], rtol=1e-9)
+    assert bool(res["fit_flag"][0]) == bool(ora["fit_flag"])
+    # without the second boundary inside the grid there is no hand-off;
+    # the slope estimates must differ
+    cfg2 = KFConfig(
+        model=[("LISEG", 0.0, 5.0)], sig_y=0.2, sig_i=0.1, sig_a=30.0,
+        t_sep=4, check_eps=1e18,
+    )
+    s2, _, _ = liseg_adjust_schedule(
+        [("LISEG", 0.0, 100.0)], T
+    )
+    assert not s2  # boundary outside grid → no flagged step

@@ -518,3 +518,36 @@ def test_correct_docs_rebuilds_affected_gapfill(spark, seq, tmp_path):
 
     # correction preserved the watermark → replay is still a noop
     assert pipe.run(spark, seq_cor)["status"] == "noop"
+
+
+def test_remove_orphans_deletes_failed_commit_debris(spark, tmp_path):
+    """Files written by a commit that never landed (crash or
+    ConcurrentCommitError loser) are in NO manifest — vacuum can't see
+    them; remove_orphans deletes them, honoring the in-flight grace
+    window, without touching committed files."""
+    import os
+
+    from kfts_insar_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(10).selectExpr("id", "cast(id % 2 as int) as k")
+    t.append(df)
+    committed = [e["path"] for e in t.manifest()["files"]]
+
+    # stage the failed commit: data files land, manifest never swaps
+    sid, _parent = t._next_sid()
+    orphans = [e["path"] for e in t._write_files(df, sid, None)]
+    assert all(os.path.exists(p) for p in orphans)
+
+    # a young orphan is protected (a live writer holds exactly this state)
+    assert t.remove_orphans(older_than_seconds=3600)["removed_files"] == 0
+    assert all(os.path.exists(p) for p in orphans)
+
+    res = t.remove_orphans(older_than_seconds=-1)
+    assert res["removed_files"] >= len(orphans)
+    assert not any(os.path.exists(p) for p in orphans)
+    # committed data intact, table still reads
+    assert all(os.path.exists(p) for p in committed)
+    assert t.read(spark).count() == 10
+    # idempotent
+    assert t.remove_orphans(older_than_seconds=-1)["removed_files"] == 0

@@ -58,3 +58,24 @@ def test_hot_shingle_cap_bounds_join_rows(spark, tmp_path):
     cand = q_doc_minhash_lsh(spark, sf_dir).collect()
     assert ("dup_a", "dup_b") in {(r.doc_a, r.doc_b) for r in cand}
     assert len(cand) < 4 * k  # far below the k²/2 uncapped blowup
+
+
+def test_ivf_trained_recall_vs_brute_force(spark):
+    """The trained coarse quantizer must give the IVF path useful recall:
+    of the brute-force top-3 neighbours per query, at least half are
+    recovered through nprobe=4-of-16 trained cells (first-16-seeded cells
+    give a weaker quantizer; training tightens them)."""
+    from kfts_insar_spark.plans import text_queries as tq
+
+    sf = "/root/testdata/sf0.01"
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in tq.q_emb_topk_cosine(spark, sf).filter("rk <= 3").collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in tq.q_emb_ivf_topk(spark, sf).collect()
+    }
+    assert len(bf) > 0
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall@3 too low: {recall:.2f}"
