@@ -186,7 +186,13 @@ def driver(cores_max: int) -> None:
 
     def job_tiers():
         seq = spark.read.parquet(f"{INPUT_DIR}/seqmeta")
-        rollup_cascade(rollup_raw(seq, salt_buckets=cores_max), HOUR_SECONDS).count()
+        # salt FIXED across levels: salting with cores_max would give the
+        # 4N level 4x the partial-agg groups — a different job, not the
+        # same job at higher parallelism
+        rollup_cascade(
+            rollup_raw(seq, salt_buckets=int(os.environ.get("SCALE_SALT", "32"))),
+            HOUR_SECONDS,
+        ).count()
 
     def job_compress():
         raw = spark.read.parquet(f"{INPUT_DIR}/raw")
@@ -202,6 +208,7 @@ def driver(cores_max: int) -> None:
             ).alias("h")
         ).agg(F.sum("h")).collect()
 
+    only = os.environ.get("SCALE_JOBS")  # comma list → targeted re-runs
     timings = {}
     for name, fn in (
         ("kalman", job_kalman),
@@ -209,6 +216,8 @@ def driver(cores_max: int) -> None:
         ("compress", job_compress),
         ("fingerprint", job_fingerprint),
     ):
+        if only and name not in only.split(","):
+            continue
         fn()  # warm: JIT + codegen + executor-side Python pools
         best = float("inf")
         for _ in range(TRIALS):
@@ -278,15 +287,19 @@ def main() -> None:
             "speedup": round(tn / t4, 2),
             "efficiency": round(eff, 3),
         }
-    kt_n = results[n]["kalman"] + results[n]["tiers"]
-    kt_4 = results[n4]["kalman"] + results[n4]["tiers"]
-    report["kalman_tiers_efficiency"] = round((kt_n / kt_4) / (n4 / n), 3)
-    core = ("kalman", "tiers", "compress")
+    have = set(results[n])
+    if {"kalman", "tiers"} <= have:
+        kt_n = results[n]["kalman"] + results[n]["tiers"]
+        kt_4 = results[n4]["kalman"] + results[n4]["tiers"]
+        report["kalman_tiers_efficiency"] = round((kt_n / kt_4) / (n4 / n), 3)
+    core = [j for j in ("kalman", "tiers", "compress") if j in have]
     tot_n = sum(results[n][j] for j in core)
     tot_4 = sum(results[n4][j] for j in core)
     report["engine_efficiency"] = round((tot_n / tot_4) / (n4 / n), 3)
     print(json.dumps(report, indent=2))
 
+    if os.environ.get("SCALE_JOBS"):
+        return  # targeted re-run: report to stdout only, keep the curated md
     kf4 = results[n4]["kalman"]
     with open("BENCH_CLUSTER.md", "w") as f:
         f.write(

@@ -129,7 +129,12 @@ def child(cores: int) -> None:
 
     def job_tiers():
         seq = spark.read.parquet(f"{INPUT_DIR}/seqmeta")
-        rollup_cascade(rollup_raw(seq, salt_buckets=cores), HOUR_SECONDS).count()
+        # salt FIXED across levels (identical job; salting with `cores`
+        # gave the higher level 4x the partial-agg groups)
+        rollup_cascade(
+            rollup_raw(seq, salt_buckets=int(os.environ.get("SCALE_SALT", "32"))),
+            HOUR_SECONDS,
+        ).count()
 
     def job_compress():
         raw = spark.read.parquet(f"{INPUT_DIR}/raw")
