@@ -113,15 +113,41 @@ CHECKS = {
         [r"HashAggregate", r"partial_"],
         [r"BatchEvalPython|ArrowEvalPython|Window"],
     ),
-    # EWMA: fixed-frame window over the tier, single window pass
+    # EWMA: fixed-frame window over the tier, single window pass — now
+    # SHARD-KEYED: the window partition spec must carry the shard key
+    # (parallelism grows with history, not the 5-value source key)
     "seq_ewma": (
-        [r"Window"],
+        [r"Window", r"shard"],
         [r"BatchEvalPython|ArrowEvalPython|Join"],
     ),
-    # Hampel: two rolling-median window passes, JVM percentile only
+    # Hampel: two rolling-median window passes, JVM percentile only,
+    # shard-keyed like EWMA
     "seq_hampel": (
-        [r"Window"],
+        [r"Window", r"shard"],
         [r"BatchEvalPython|ArrowEvalPython|Join"],
+    ),
+    # counter rate: (source, day) running sum + shard-keyed sampled lag
+    "seq_counter_rate": (
+        [r"Window", r"shard"],
+        [r"BatchEvalPython|ArrowEvalPython|Join"],
+    ),
+    # check_fit surface: the kernel and the dense oracle are BOTH grouped
+    # pandas ops (that is the operator); the join between them is on the
+    # tiny per-doc frames
+    "kf_check_fit": (
+        [r"FlatMapGroupsInPandas"],
+        [r"CartesianProduct"],
+    ),
+    # deep read path: three bands unioned; the oldest band decodes via
+    # mapInPandas AFTER a chunk-level filter on the compressed rows
+    "seq_compressed_readthrough": (
+        [r"Union", r"MapInPandas|FlatMapGroupsInPandas"],
+        [r"CartesianProduct"],
+    ),
+    # LISEG P0 vector: pure Column arithmetic over a range — no exchange
+    "liseg_p0_patch": (
+        [r"Project|Range"],
+        [r"Exchange|BatchEvalPython|ArrowEvalPython"],
     ),
     # grouped exact percentiles: one shuffle, JVM percentile agg
     "seq_daily_quantiles": (
