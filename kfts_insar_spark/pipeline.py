@@ -433,6 +433,9 @@ class TierPipeline:
             wide = wide.join(prev, "doc_id", "full")
 
         combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
+        from concurrent.futures import ThreadPoolExecutor
+
+        state_pool = ThreadPoolExecutor(1)
         try:
             # COMMIT ORDER IS LOAD-BEARING: output tier FIRST, state SECOND.
             # If the state commit (watermark_es/k_done advanced) landed
@@ -443,6 +446,16 @@ class TierPipeline:
             # lost. With output-first, a crash leaves stale state and the
             # next run re-executes the same window idempotently (overwrite
             # replaces, never adds).
+            #
+            # The state WRITE (the expensive half: Spark job + footer
+            # stats over the persisted `combined`) still overlaps the
+            # output explode/stitch/write — only its manifest swap waits
+            # for the gap commit. A crash in between leaves unreferenced
+            # state files (remove_orphans reclaims them) and stale state.
+            f_state = state_pool.submit(
+                self.kf_state.stage_all,
+                combined.select("doc_id", "k_done", "idx0", "m", "P"),
+            )
             out = explode_kf_output(combined, t_grid)
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
@@ -538,9 +551,10 @@ class TierPipeline:
             if rows_cached is not None:
                 rows_cached.unpersist()
             # the state's idx0 is uniform across docs (grid-determined): L
-            # kept params + last t_sep phases → idx0 = m − t_sep
-            self.kf_state.overwrite_all(
-                combined.select("doc_id", "k_done", "idx0", "m", "P"),
+            # kept params + last t_sep phases → idx0 = m − t_sep.
+            # Gap commit has landed — NOW publish the staged state.
+            self.kf_state.commit_staged(
+                f_state.result(),
                 properties={
                     "grid_lo": lo,
                     "k_done": m,
@@ -549,6 +563,7 @@ class TierPipeline:
                 },
             )
         finally:
+            state_pool.shutdown(wait=True)
             combined.unpersist()
         self.log.record("tier_gapfilled", sid, wm, self.gap.manifest()["files"], n_rows)
         return {"n_rows": n_rows, "snapshot_id": sid}

@@ -306,6 +306,35 @@ class SnapshotTable:
         self.last_commit_files = new
         return self._commit(sid, new, "overwrite_all", properties, parent)
 
+    def stage_all(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        coalesce: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Two-phase overwrite_all, phase 1: write the data files (the
+        expensive part — the Spark job + footer stats) WITHOUT committing.
+        Returns a staging handle for :meth:`commit_staged`.
+
+        Lets a caller overlap this table's write with other work while
+        keeping a strict commit ORDER across tables: a crash before
+        commit_staged leaves only unreferenced files (reclaimed by
+        :meth:`remove_orphans`) and the table at its previous snapshot —
+        never a torn or early commit."""
+        sid, parent = self._next_sid()
+        files = self._write_files(df, sid, partition_by, coalesce, stats_cols)
+        return {"sid": sid, "parent": parent, "files": files}
+
+    def commit_staged(self, staged: dict, properties: dict | None = None) -> int:
+        """Two-phase overwrite_all, phase 2: atomically publish files
+        staged by :meth:`stage_all`."""
+        self.last_commit_files = staged["files"]
+        return self._commit(
+            staged["sid"], staged["files"], "overwrite_all", properties,
+            staged["parent"],
+        )
+
     def upsert(
         self,
         spark: SparkSession,
