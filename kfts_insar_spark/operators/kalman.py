@@ -98,8 +98,11 @@ class KFConfig:
     # Here the scalar residual's trailing mean over the last ``check_win``
     # observed steps is compared to ``check_eps``; the kernel emits a
     # per-doc flag + worst score instead of printing (the engine form of
-    # the reference's only in-loop quality gate).
-    check_eps: float = 10.0  # reference eps_interf default
+    # the reference's only in-loop quality gate). ``None`` disables the
+    # gate entirely — matching the reference, where check_fit runs only
+    # under ``verbose`` (KF_class.py:303-304); the hot gap-fill path
+    # stays gate-free by default.
+    check_eps: float | None = None  # reference eps_interf default is 10
     check_win: int = 5
 
     @property
@@ -216,10 +219,13 @@ def kalman_direct_batch(
     lsteps, l1, l2 = liseg_adjust_schedule(model, t)
 
     # check_fit state: ring buffer of the last check_win observed weighted
-    # post-fit residuals per doc (O(B·W) — negligible next to the P update)
+    # post-fit residuals per doc (only when the gate is enabled — the
+    # reference computes this under `verbose` only)
+    check = cfg.check_eps is not None
     W = max(1, int(cfg.check_win))
-    rbuf = np.full((B, W), np.nan)
-    wpos = np.zeros(B, dtype=np.int64)
+    if check:
+        rbuf = np.full((B, W), np.nan)
+        wpos = np.zeros(B, dtype=np.int64)
     fit_flag = np.zeros(B, dtype=bool)
     fit_max = np.zeros(B)
 
@@ -295,14 +301,15 @@ def kalman_direct_batch(
 
         # ---- check_fit (reference kf/KF_class.py:319-333): weighted
         # POST-fit residual against the analysed state/covariance
-        oi = np.flatnonzero(obs)
-        if oi.size:
-            r_post = (y[oi] - X[oi, n - 1]) / (P[oi, n - 1, n - 1] + R)
-            rbuf[oi, wpos[oi] % W] = r_post
-            wpos[oi] += 1
-            mean_r = np.abs(np.nanmean(rbuf[oi], axis=1))
-            fit_flag[oi] |= mean_r > cfg.check_eps
-            fit_max[oi] = np.maximum(fit_max[oi], mean_r)
+        if check:
+            oi = np.flatnonzero(obs)
+            if oi.size:
+                r_post = (y[oi] - X[oi, n - 1]) / (P[oi, n - 1, n - 1] + R)
+                rbuf[oi, wpos[oi] % W] = r_post
+                wpos[oi] += 1
+                mean_r = np.abs(np.nanmean(rbuf[oi], axis=1))
+                fit_flag[oi] |= mean_r > cfg.check_eps
+                fit_max[oi] = np.maximum(fit_max[oi], mean_r)
 
         # ---- compaction every step (reference's always-true condition)
         if k >= ts:
@@ -434,18 +441,19 @@ def kalman_direct_oracle(
             m = mf + (K @ [[nu]]).ravel()
             P = Pf - K @ H @ Pf
             innov[k] = nu
-            # Cres = R + H P Hᵀ on the ANALYSED covariance; residual on
-            # the analysed state — exactly the reference's check_fit
-            Cres = np.array([[cfg.sig_i**2]]) + H @ P @ H.T
-            res = float(
-                (np.linalg.inv(Cres) @ [[y[k] - (H @ m)[0]]])[0, 0]
-            )
-            fit_res.append(res)
-            mean_r = abs(
-                float(np.mean(fit_res[-max(1, int(cfg.check_win)):]))
-            )
-            fit_flag = fit_flag or mean_r > cfg.check_eps
-            fit_max = max(fit_max, mean_r)
+            if cfg.check_eps is not None:
+                # Cres = R + H P Hᵀ on the ANALYSED covariance; residual
+                # on the analysed state — exactly the reference check_fit
+                Cres = np.array([[cfg.sig_i**2]]) + H @ P @ H.T
+                res = float(
+                    (np.linalg.inv(Cres) @ [[y[k] - (H @ m)[0]]])[0, 0]
+                )
+                fit_res.append(res)
+                mean_r = abs(
+                    float(np.mean(fit_res[-max(1, int(cfg.check_win)):]))
+                )
+                fit_flag = fit_flag or mean_r > cfg.check_eps
+                fit_max = max(fit_max, mean_r)
         else:
             m, P = mf, Pf
 
@@ -792,7 +800,13 @@ def kalman_fit_flags(
 
     Same distribution shape as kalman_gapfill: doc-hash buckets → one
     batch-kernel run per group, per-doc scalar output (rows = docs)."""
+    import dataclasses
+
     cfg = cfg or KFConfig()
+    if cfg.check_eps is None:
+        # this wrapper IS the quality gate — enable it with the
+        # reference's eps_interf default when the caller didn't choose
+        cfg = dataclasses.replace(cfg, check_eps=10.0)
     t_grid = np.asarray(t_grid, dtype=np.float64)
     M = len(t_grid)
 
