@@ -784,6 +784,48 @@ class TierPipeline:
         )
         return n_rows
 
+    # ---------------------------------------------------------- maintenance
+    def maintain(
+        self,
+        spark: SparkSession,
+        keep_snapshots: int = 2,
+        orphan_grace_seconds: float = 86400.0,
+        compact_target_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Periodic table maintenance across every tier — the job a real
+        deployment schedules nightly (Iceberg: rewrite_data_files +
+        expire_snapshots + remove_orphan_files):
+
+        1. ``compact``: bin-pack the small files each incremental commit
+           leaves behind (scan cost grows with file count, not bytes);
+        2. ``vacuum``: expire snapshots beyond ``keep_snapshots``,
+           deleting data files only they referenced (time travel remains
+           valid for the kept window);
+        3. ``remove_orphans``: reclaim failed-commit debris older than
+           the grace window (files no manifest references — including
+           state files staged by a crashed two-phase commit).
+
+        Safe under the resume contract: all three only touch files that
+        are either unreferenced or superseded; the current snapshot and
+        its properties (watermarks) are never modified."""
+        tables = {
+            "raw": self.raw, "1h": self.h1, "1d": self.d1,
+            "compressed": self.comp, "series": self.series,
+            "gapfilled": self.gap, "state": self.kf_state,
+        }
+        report: dict = {}
+        for name, t in tables.items():
+            c = t.compact(spark, target_bytes=compact_target_bytes)
+            v = t.vacuum(keep_last=keep_snapshots)
+            o = t.remove_orphans(older_than_seconds=orphan_grace_seconds)
+            report[name] = {
+                "compacted_files": c.get("files_before", 0),
+                "expired_snapshots": v.get("removed_snapshots", 0),
+                "removed_files": v.get("removed_files", 0)
+                + o.get("removed_files", 0),
+            }
+        return report
+
     # ------------------------------------------------------------ retention
     def expire_raw_before(self, cutoff_es: int) -> int:
         """Retention: drop raw partitions strictly older than the cutoff day.

@@ -669,6 +669,76 @@ FROM raw GROUP BY 1, 2
 """
 
 
+# -------------------------------------------------- time-weighted average
+def q_seq_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average token rate per (source, day) over the
+    IRREGULAR observed series — the TSDB aggregate a plain avg() gets
+    wrong whenever sampling is uneven: each observation is weighted by
+    its hold duration (last-observation-carried-forward to the next
+    observed bucket, the final one to day end).
+
+    All weights are integer seconds and values integer token sums, so
+    numerator/denominator are exact longs; the ratio is one double
+    division rounded identically on both engines.
+
+    Scale: the lead() window partitions by (source, day) — date-bounded
+    high-cardinality keys (no 5-task source ceiling, no shard pass
+    needed); then a plain algebraic aggregation."""
+    raw = _raw(spark, sf_dir)
+    d = raw.select(
+        "source",
+        "bucket_es",
+        "sum_tok",
+        (F.expr(f"CAST(bucket_es AS BIGINT) div 86400")).alias("day"),
+    )
+    w = Window.partitionBy("source", "day").orderBy("bucket_es")
+    nxt = F.lead("bucket_es").over(w)
+    dur = (
+        F.coalesce(nxt, (F.col("day") + 1) * 86400) - F.col("bucket_es")
+    ).cast("long")
+    per = d.select(
+        "source", "day", "sum_tok", dur.alias("dur")
+    )
+    agg = per.groupBy("source", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("sum_tok") * F.col("dur")).cast("long").alias("wsum"),
+        F.sum("dur").cast("long").alias("dursum"),
+    )
+    return agg.select(
+        "source",
+        (F.col("day") * 86400).cast("long").alias("day_es"),
+        "n_buckets",
+        "wsum",
+        "dursum",
+        F.round(
+            F.col("wsum").cast("double") / F.col("dursum").cast("double"), 9
+        ).alias("twa"),
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = f"""
+WITH raw AS ({_oracle_raw()}),
+d AS (
+  SELECT source, bucket_es, sum_tok, bucket_es // 86400 AS day
+  FROM raw),
+per AS (
+  SELECT source, day, sum_tok,
+         coalesce(lead(bucket_es) OVER (PARTITION BY source, day
+                                        ORDER BY bucket_es),
+                  (day + 1) * 86400) - bucket_es AS dur
+  FROM d),
+agg AS (
+  SELECT source, day,
+         CAST(count(*) AS BIGINT)            AS n_buckets,
+         CAST(sum(sum_tok * dur) AS BIGINT)  AS wsum,
+         CAST(sum(dur) AS BIGINT)            AS dursum
+  FROM per GROUP BY 1, 2)
+SELECT source, CAST(day * 86400 AS BIGINT) AS day_es, n_buckets, wsum, dursum,
+       round(CAST(wsum AS DOUBLE) / CAST(dursum AS DOUBLE), 9) AS twa
+FROM agg
+"""
+
+
 # ------------------------------------------------------ cohort enrichment
 def q_seq_bucket_zscore(spark, sf_dir):
     """Fact→aggregate enrichment join: each document joins its (source,
@@ -731,6 +801,7 @@ QUERIES = {
     "seq_ewma": q_seq_ewma,
     "seq_hampel": q_seq_hampel,
     "seq_daily_quantiles": q_seq_daily_quantiles,
+    "seq_time_weighted_avg": q_seq_time_weighted_avg,
     "seq_bucket_zscore": q_seq_bucket_zscore,
 }
 
@@ -743,5 +814,6 @@ ORACLE_SQL = {
     "seq_ewma": ORACLE_EWMA,
     "seq_hampel": ORACLE_HAMPEL,
     "seq_daily_quantiles": ORACLE_DAILY_QUANTILES,
+    "seq_time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
     "seq_bucket_zscore": ORACLE_BUCKET_ZSCORE,
 }

@@ -551,3 +551,32 @@ def test_remove_orphans_deletes_failed_commit_debris(spark, tmp_path):
     assert t.read(spark).count() == 10
     # idempotent
     assert t.remove_orphans(older_than_seconds=-1)["removed_files"] == 0
+
+
+def test_maintain_compacts_and_reclaims(spark, seq, tmp_path):
+    """maintain() runs compaction + snapshot expiry + orphan GC across
+    every tier without changing any table's current content, watermark,
+    or the next run's noop status."""
+    import os
+
+    pipe = TierPipeline(str(tmp_path / "m"), kf_shards=4)
+    split_es = seq.approxQuantile("ingest_es", [0.5], 0)[0]
+    pipe.run(spark, seq.filter(F.col("ingest_es") <= split_es))
+    pipe.run(spark, seq)  # second commit → expirable snapshots
+    before = {t: _tier_rows(spark, pipe, t) for t in ("raw", "1h", "gapfilled")}
+    wm = int(pipe.raw.property("watermark_es"))
+
+    # stage failed-commit debris on the state table
+    st_df = pipe.read_tier(spark, "state")
+    staged = pipe.kf_state.stage_all(st_df)
+    orphans = [e["path"] for e in staged["files"]]
+
+    rep = pipe.maintain(spark, keep_snapshots=1, orphan_grace_seconds=-1)
+    assert set(rep) == {"raw", "1h", "1d", "compressed", "series",
+                       "gapfilled", "state"}
+    assert sum(r["expired_snapshots"] for r in rep.values()) > 0
+    assert not any(os.path.exists(p) for p in orphans)
+    for t, rows in before.items():
+        assert _tier_rows(spark, pipe, t) == rows, t
+    assert int(pipe.raw.property("watermark_es")) == wm
+    assert pipe.run(spark, seq)["status"] == "noop"
