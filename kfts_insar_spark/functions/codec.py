@@ -637,9 +637,12 @@ def decode_timestamps_lockstep(datas: list[bytes], ns: np.ndarray) -> np.ndarray
     out[a0, 0] = _u64_to_i64(_gather(bits, a0, pos[a0], 64))
     pos[a0] += 64
     a1 = rows_all[ns > 1]
-    delta[a1] = _unzigzag_vec(_gather(bits, a1, pos[a1], 64))
-    pos[a1] += 64
-    out[a1, 1] = out[a1, 0] + delta[a1]
+    if a1.size:  # a batch of ONLY single-point chunks has max_n == 1:
+        # out is width-1 and even an empty fancy index into column 1
+        # raises (bounds are checked before the selection)
+        delta[a1] = _unzigzag_vec(_gather(bits, a1, pos[a1], 64))
+        pos[a1] += 64
+        out[a1, 1] = out[a1, 0] + delta[a1]
 
     widths = (8, 10, 13, 64)
     for i in range(2, max_n):

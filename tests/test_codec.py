@@ -203,3 +203,85 @@ def test_pooled_chunk_layout_never_larger_than_explicit():
         assert len(pooled[c]) <= len(encode_values_vec(chunk)), c
         got = decode_values(pooled[c], len(chunk))
         assert np.array_equal(got.view(np.uint64), chunk.view(np.uint64))
+
+
+# ------------------------------------------------------- property testing
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    finite = st.floats(
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+        min_value=-1e15,
+        max_value=1e15,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(finite, min_size=1, max_size=40), min_size=1, max_size=6
+        )
+    )
+    def test_gorilla_value_roundtrip_property(chunks):
+        """Lossless for ANY finite doubles, any chunk shapes — including
+        denormal-adjacent magnitudes, sign flips, and repeated values
+        (the '10'-window reuse path)."""
+        import numpy as np
+
+        from kfts_insar_spark.functions.codec import (
+            decode_values_lockstep,
+            encode_values_chunked,
+        )
+
+        vals = np.array([v for c in chunks for v in c], dtype=np.float64)
+        starts = np.cumsum([0] + [len(c) for c in chunks[:-1]])
+        ns = np.array([len(c) for c in chunks], dtype=np.int64)
+        codecs = encode_values_chunked(vals, np.asarray(starts))
+        mat = decode_values_lockstep([bytes(b) for b in codecs], ns)
+        off = 0
+        for i, n in enumerate(ns):
+            got = mat[i, :n]
+            want = vals[off : off + n]
+            assert np.array_equal(got, want), (i, got, want)
+            off += n
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=2**40),
+                min_size=1,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_gorilla_timestamp_roundtrip_property(chunks):
+        """Delta-of-delta is exact for ANY non-decreasing int64 sequences
+        (sorted inside each chunk, arbitrary gaps — the real bucket grid
+        is a special case)."""
+        import numpy as np
+
+        from kfts_insar_spark.functions.codec import (
+            decode_timestamps_lockstep,
+            encode_timestamps_chunked,
+        )
+
+        chunks = [sorted(c) for c in chunks]
+        ts = np.array([v for c in chunks for v in c], dtype=np.int64)
+        starts = np.cumsum([0] + [len(c) for c in chunks[:-1]])
+        ns = np.array([len(c) for c in chunks], dtype=np.int64)
+        codecs = encode_timestamps_chunked(ts, np.asarray(starts))
+        mat = decode_timestamps_lockstep([bytes(b) for b in codecs], ns)
+        off = 0
+        for i, n in enumerate(ns):
+            assert np.array_equal(mat[i, :n], ts[off : off + n])
+            off += n
