@@ -271,6 +271,27 @@ _SHINGLES_SQL = (
 )
 
 
+def q_doc_dedup_index(spark, sf_dir):
+    """INCREMENTAL exact-dedup index (operators/dedup_index.py): the
+    corpus arrives in two batches — the HIGH-doc_id half first, then the
+    low half, so the second batch must downgrade canonical ids through
+    the least() merge — each batch folded into a snapshot-committed
+    fingerprint index with partition-pruned lookups and CoW upserts. The
+    final index must equal the one-shot batch group-by (the oracle),
+    proving the standing-pipeline form converges to the batch answer
+    regardless of batch split or order."""
+    import tempfile
+
+    from ..operators.dedup_index import DedupIndex
+
+    d = load(spark, sf_dir, "documents")
+    mid = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    idx = DedupIndex(tempfile.mkdtemp(prefix="dedup_idx_") + "/idx")
+    idx.ingest(spark, d.filter(F.col("doc_id") > mid), batch_id=0)
+    idx.ingest(spark, d.filter(F.col("doc_id") <= mid), batch_id=1)
+    return idx.read(spark)
+
+
 def q_doc_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup pairs by word-3-gram Jaccard ≥ τ: explode distinct shingles
     → equi-join on shingle → |A∩B| per pair → Jaccard from set sizes.
@@ -790,6 +811,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_pii_screen": q_doc_pii_screen,
     "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_dedup_index": q_doc_dedup_index,
     "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
@@ -899,6 +921,13 @@ SELECT doc_id,
 FROM r2
 """,
     "doc_exact_dedup": """
+SELECT md5(text) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+""",
+    # the incremental index must converge to the one-shot batch answer
+    "doc_dedup_index": """
 SELECT md5(text) AS fp,
        CAST(min(doc_id) AS BIGINT) AS canonical_id,
        CAST(count(*) AS BIGINT) AS n_dups

@@ -79,3 +79,46 @@ def test_ivf_trained_recall_vs_brute_force(spark):
     assert len(bf) > 0
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.5, f"IVF recall@3 too low: {recall:.2f}"
+
+
+def test_dedup_index_incremental_replay_and_flags(spark, tmp_path):
+    """The standing dedup index: reverse-order batch splits converge to
+    the batch group-by, replayed batches are no-ops (batch_id guard), and
+    duplicates() flags exactly the non-canonical members."""
+    from pyspark.sql import functions as F
+
+    from kfts_insar_spark.operators.dedup_index import DedupIndex
+    from kfts_insar_spark.plans.common import load
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    mid = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    hi, lo = d.filter(F.col("doc_id") > mid), d.filter(F.col("doc_id") <= mid)
+
+    idx = DedupIndex(str(tmp_path / "idx"))
+    idx.ingest(spark, hi, batch_id=0)
+    idx.ingest(spark, lo, batch_id=1)
+    # at-least-once redelivery of batch 1 must not double n_dups
+    assert idx.ingest(spark, lo, batch_id=1).get("skipped")
+
+    want = {
+        (r.fp, r.canonical_id, r.n_dups)
+        for r in d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .collect()
+    }
+    got = {
+        (r.fp, r.canonical_id, r.n_dups) for r in idx.read(spark).collect()
+    }
+    assert got == want
+
+    flags = idx.duplicates(spark, d)
+    n_dup_docs = flags.filter("is_dup").count()
+    want_dups = d.count() - len(want)  # every non-canonical member
+    assert n_dup_docs == want_dups
+    # canonical docs are never flagged
+    canon = {c for (_f, c, _n) in want}
+    flagged = {r.doc_id for r in flags.filter("is_dup").collect()}
+    assert not (flagged & canon)
