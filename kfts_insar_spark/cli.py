@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--base", required=True)
     tp.add_argument("--out", help="output parquet path (default: show count)")
 
+    qp = sub.add_parser(
+        "quality",
+        help="in-loop check_fit gate over the committed series tier: "
+        "per-sub-series misfit flags (reference check_fit, verbose mode)",
+    )
+    qp.add_argument("--base", required=True)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -105,19 +112,49 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline import TierPipeline
 
         pipe = TierPipeline(args.base)
-        out = {}
-        for tier, tbl in (
-            ("raw", pipe.raw),
-            ("1h", pipe.h1),
-            ("1d", pipe.d1),
-            ("compressed", pipe.comp),
-            ("series", pipe.series),
-            ("gapfilled", pipe.gap),
-        ):
-            c = tbl.compact(spark, target_bytes=args.target_mb * 1024 * 1024)
-            v = tbl.vacuum(keep_last=args.keep_snapshots)
-            out[tier] = {**c, **v}
-        print(json.dumps(out))
+        print(
+            json.dumps(
+                pipe.maintain(
+                    spark,
+                    keep_snapshots=args.keep_snapshots,
+                    compact_target_bytes=args.target_mb * 1024 * 1024,
+                )
+            )
+        )
+    elif args.cmd == "quality":
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from .operators.kalman import kalman_fit_flags
+        from .operators.rollup import DAY_SECONDS, RAW_SECONDS
+        from .pipeline import TierPipeline
+
+        pipe = TierPipeline(args.base)
+        ser = pipe.read_tier(spark, "series")
+        lo = int(pipe.kf_state.property("grid_lo", 0))
+        m = int(pipe.kf_state.property("k_done", 0))
+        t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
+        step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
+        long = ser.select(
+            F.concat_ws("/", "source", "shard").alias("doc_id"),
+            step.alias("step"),
+            (step * F.lit(RAW_SECONDS / DAY_SECONDS)).alias("t"),
+            F.col("sum_tok").cast("double").alias("value"),
+        ).filter(F.col("step") >= 0)
+        flags = kalman_fit_flags(long, t_grid, pipe.kf_cfg)
+        bad = flags.filter("fit_flag")
+        print(
+            json.dumps(
+                {
+                    "subseries": flags.count(),
+                    "flagged": bad.count(),
+                    "worst": [
+                        {"doc_id": r.doc_id, "fit_max": r.fit_max}
+                        for r in bad.orderBy(F.desc("fit_max")).limit(5).collect()
+                    ],
+                }
+            )
+        )
     elif args.cmd == "readthrough":
         from pyspark.sql import functions as F
 
