@@ -455,6 +455,8 @@ class TierPipeline:
             f_state = state_pool.submit(
                 self.kf_state.stage_all,
                 combined.select("doc_id", "k_done", "idx0", "m", "P"),
+                None,  # partition_by
+                2,  # coalesce: tiny table — one file beats 32 footer reads
             )
             out = explode_kf_output(combined, t_grid)
             src_shard = F.split(F.col("doc_id"), "/")
@@ -772,7 +774,7 @@ class TierPipeline:
                 new_state = st.filter(~F.col("doc_id").isin(keys)).unionByName(
                     new_state
                 )
-            self.kf_state.overwrite_all(new_state)
+            self.kf_state.overwrite_all(new_state, coalesce=2)
         finally:
             combined.unpersist()
         self.log.record(
