@@ -580,3 +580,40 @@ def test_maintain_compacts_and_reclaims(spark, seq, tmp_path):
         assert _tier_rows(spark, pipe, t) == rows, t
     assert int(pipe.raw.property("watermark_es")) == wm
     assert pipe.run(spark, seq)["status"] == "noop"
+
+
+def test_correct_docs_multi_bucket_multi_source(spark, seq, tmp_path):
+    """Restatement spanning several buckets and sources in ONE correction
+    frame still equals the cold run — the partition-granular CoW and the
+    sub-series rebuild must compose (the test fixture's ingest window is
+    one UTC day, so the span axis here is buckets × sources)."""
+    from kfts_insar_spark.operators.rollup import RAW_SECONDS
+
+    pipe = TierPipeline(str(tmp_path / "a"), kf_shards=4)
+    pipe.run(spark, seq)
+
+    # victims: earliest and latest docs overall (different days by
+    # construction of the synthetic ingest window) + a mid doc
+    vs = seq.orderBy("ingest_es").limit(1).collect() + \
+         seq.orderBy(F.col("ingest_es").desc()).limit(1).collect()
+    buckets = {(v.source, (v.ingest_es // RAW_SECONDS) * RAW_SECONDS) for v in vs}
+    vids = {v.doc_id for v in vs}
+    cond = None
+    for s, b in buckets:
+        c = (F.col("source") == s) & (
+            (F.col("ingest_es") / RAW_SECONDS).cast("long") * RAW_SECONDS == b
+        )
+        cond = c if cond is None else (cond | c)
+    bucket_docs = seq.filter(cond)
+    bump = F.when(F.col("doc_id").isin(vids), F.col("n_tok") + 123).otherwise(
+        F.col("n_tok")
+    )
+    assert len(buckets) >= 2  # the correction really spans buckets/sources
+    res = pipe.correct_docs(spark, bucket_docs.withColumn("n_tok", bump))
+    assert res["status"] == "restated"
+
+    cold = TierPipeline(str(tmp_path / "b"), kf_shards=4)
+    cold.run(spark, seq.withColumn("n_tok", bump))
+    for tier in ("raw", "1h", "1d", "series", "gapfilled"):
+        assert _tier_rows(spark, pipe, tier) == _tier_rows(spark, cold, tier), tier
+    assert pipe.run(spark, seq.withColumn("n_tok", bump))["status"] == "noop"
