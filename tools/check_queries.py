@@ -4,18 +4,24 @@ entry at sf0.01 side-by-side with its oracle_sql() through DuckDB and compare
 row count, schema arity, and order-insensitive values.
 
 Usage: python tools/check_queries.py [query_name ...]
+       CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_queries.py doc_... (table-backed only)
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# SF override checks scale-stability of the TABLE-BACKED queries (both
+# engines read the same parquet). Synthetic-generator queries bake
+# ORACLE_N_DOCS for sf0.01 into their SQL at import — run those at the
+# default SF only.
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
