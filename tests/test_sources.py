@@ -91,3 +91,52 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in raw.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------------- NetCDF-3 (S5)
+def test_netcdf3_roundtrip_and_spark_scan(spark, tmp_path):
+    """S5: classic-format NetCDF grids read back bit-exact vs numpy ground
+    truth, through the pure-numpy parser AND the Spark binaryFile scan
+    (reference load_grd, kf/utils/tsio.py:141-165)."""
+    import numpy as np
+
+    from kfts_insar_spark.sources.netcdf3 import (
+        read_grd_stack,
+        read_var,
+        write_netcdf3,
+    )
+
+    rng = np.random.default_rng(3)
+    grids = {}
+    for i in range(3):
+        g = rng.normal(0, 5, (7, 11)).astype("f4" if i % 2 else "f8")
+        grids[f"g{i}.grd"] = g
+        write_netcdf3(str(tmp_path / f"g{i}.grd"), {"z": g})
+
+    # direct parser: bit-exact per file
+    for fname, g in grids.items():
+        got = read_var(open(tmp_path / fname, "rb").read(), "z")
+        assert got.shape == g.shape
+        assert np.array_equal(got.astype(g.dtype), g)
+
+    # Spark scan: every (file, y, x, value) row matches the source grid
+    df = read_grd_stack(spark, str(tmp_path) + "/*.grd").toPandas()
+    assert len(df) == sum(g.size for g in grids.values())
+    for fname, g in grids.items():
+        sub = df[df["file"] == fname]
+        mat = np.full(g.shape, np.nan)
+        mat[sub["y"].to_numpy(), sub["x"].to_numpy()] = sub["value"].to_numpy()
+        assert np.array_equal(mat, g.astype(np.float64))
+
+    # integer grid + 1-D variable + missing-var / HDF5 guards
+    gi = np.arange(12, dtype="i4").reshape(3, 4)
+    write_netcdf3(str(tmp_path / "int.grd"), {"z": gi})
+    assert np.array_equal(
+        read_var(open(tmp_path / "int.grd", "rb").read(), "z"), gi
+    )
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        read_var(open(tmp_path / "int.grd", "rb").read(), "nope")
+    with _pt.raises(ValueError):
+        read_var(b"\x89HDF" + b"\0" * 64, "z")
