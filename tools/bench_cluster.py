@@ -299,9 +299,10 @@ def main() -> None:
     print(json.dumps(report, indent=2))
 
     if os.environ.get("SCALE_JOBS"):
-        return  # targeted re-run: report to stdout only, keep the curated md
+        return  # targeted re-run: report to stdout only
     kf4 = results[n4]["kalman"]
-    with open("BENCH_CLUSTER.md", "w") as f:
+    # raw auto-report; BENCH_CLUSTER.md is the curated multi-window narrative
+    with open("BENCH_CLUSTER_auto.md", "w") as f:
         f.write(
             "# Multi-executor scaling — standalone cluster, 1 vs 4 executor "
             "JVMs\n\n"
