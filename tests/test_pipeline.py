@@ -617,3 +617,64 @@ def test_correct_docs_multi_bucket_multi_source(spark, seq, tmp_path):
     for tier in ("raw", "1h", "1d", "series", "gapfilled"):
         assert _tier_rows(spark, pipe, tier) == _tier_rows(spark, cold, tier), tier
     assert pipe.run(spark, seq.withColumn("n_tok", bump))["status"] == "noop"
+
+
+def test_crash_between_gap_commit_and_state_publish_heals(spark, seq, tmp_path):
+    """The round-2 review's crash window, exercised end-to-end: the gap
+    tier commits, then the process dies before the staged state manifest
+    publishes. The next run must heal (stale state → idempotent re-run of
+    the same window), converge to the cold one-shot result, and the
+    staged state files must be GC-able orphans."""
+    import os
+
+    pipe = TierPipeline(str(tmp_path / "p"), kf_shards=4)
+    split_es = seq.approxQuantile("ingest_es", [0.5], 0)[0]
+    pipe.run(spark, seq.filter(F.col("ingest_es") <= split_es))
+
+    staged_box = {}
+    orig = pipe.kf_state.commit_staged
+
+    def boom(staged, properties=None):
+        staged_box["files"] = [e["path"] for e in staged["files"]]
+        raise RuntimeError("injected crash before state publish")
+
+    pipe.kf_state.commit_staged = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(spark, seq)
+    pipe.kf_state.commit_staged = orig
+
+    # the crash left: gap tier AT the new watermark, state BEHIND it,
+    # staged state files on disk but in no manifest
+    wm_raw = int(pipe.raw.property("watermark_es"))
+    assert int(pipe.gap.property("watermark_es")) == wm_raw
+    assert int(pipe.kf_state.property("watermark_es", -1)) < wm_raw
+    assert staged_box["files"] and all(
+        os.path.exists(p) for p in staged_box["files"]
+    )
+
+    # restart (fresh pipeline object): heal re-runs the gapfill window
+    restarted = TierPipeline(str(tmp_path / "p"), kf_shards=4)
+    restarted.run(spark, seq)
+    assert int(restarted.kf_state.property("watermark_es")) == wm_raw
+
+    cold = TierPipeline(str(tmp_path / "cold"), kf_shards=4)
+    cold.run(spark, seq)
+    for tier in ("raw", "gapfilled"):
+        assert _tier_rows(spark, restarted, tier) == _tier_rows(
+            spark, cold, tier
+        ), tier
+    st_a = sorted(
+        (r.doc_id, r.k_done, tuple(r.m))
+        for r in restarted.read_tier(spark, "state").collect()
+    )
+    st_b = sorted(
+        (r.doc_id, r.k_done, tuple(r.m))
+        for r in cold.read_tier(spark, "state").collect()
+    )
+    assert st_a == st_b
+
+    # the crashed attempt's staged files are orphans: no manifest lists
+    # them, and GC removes them without touching the live table
+    restarted.kf_state.remove_orphans(older_than_seconds=-1)
+    assert not any(os.path.exists(p) for p in staged_box["files"])
+    assert restarted.read_tier(spark, "state").count() == len(st_a)
