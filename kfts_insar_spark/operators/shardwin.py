@@ -60,10 +60,33 @@ def halo(
     rows_after: int = 0,
     flag: str = "_halo",
 ) -> DataFrame:
-    """Replicate each (keys, shard) partition's trailing ``rows_before``
-    rows into shard+1 and leading ``rows_after`` rows into shard−1,
-    marked with ``flag`` — the halo exchange that makes ROWS-bounded
-    windows exact per (keys, shard).
+    """Replicate, for every (keys, shard) partition, the ``rows_before``
+    rows that GLOBALLY precede its first row and the ``rows_after`` rows
+    that globally follow its last row, marked with ``flag`` — the halo
+    exchange that makes ROWS-bounded windows exact per (keys, shard).
+
+    ROWS frames count OBSERVED rows, not time steps: on a gappy series a
+    shard may hold fewer than K rows (or none), so the K frame rows of a
+    shard's first row can live several shards back. Adjacent-shard
+    copying is therefore NOT sufficient. Instead:
+
+    1. a per-(keys, shard) count table — tiny: one row per non-empty
+       shard — gets per-key prefix sums, giving each shard its global
+       row-number range [_F, _E] in the per-key ``order``;
+    2. a self-join of that tiny table finds every (src shard, dst shard)
+       pair whose row ranges prove src holds rows inside dst's needed
+       global range ([_F−K, _F−1] before / [_E+1, _E+K] after) — the
+       join fans one src row out to EVERY dst shard that needs it, which
+       is what fixes the sparse-shard case;
+    3. the mapping (broadcast — it is bounded by shard-pair adjacency
+       counts, not data size) joins back to ``df`` on keys+shard with a
+       local row-number bound, so only the needed rows replicate.
+
+    Exactness: global row numbers are consecutive per key and shards are
+    monotone in ``order``, so "local row number within src shard" maps
+    affinely onto the global row number (_F_src − 1 + p); the bound in
+    step 3 selects exactly the globally-needed rows. No per-key global
+    window is ever run over the data itself — only over the counts table.
 
     After running the window partitioned by keys+[shard], the caller
     MUST filter ``~F.col(flag)`` — halo rows exist only to complete
@@ -71,25 +94,90 @@ def halo(
     """
     parts = [F.col(k) for k in keys] + [F.col(shard)]
     base = df.withColumn(flag, F.lit(False))
+    if rows_before <= 0 and rows_after <= 0:
+        return base
     out = base
+    counts = df.groupBy(*(keys + [shard])).agg(F.count(F.lit(1)).alias("_c"))
+    wk = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(shard).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bounds = counts.withColumn("_E", F.sum("_c").over(wk)).withColumn(
+        "_F", F.col("_E") - F.col("_c") + 1
+    )
+    pk = [f"_pk_{k}" for k in keys]
+
+    def _fanout(mapping: DataFrame, rn_window: Window, bound: str) -> DataFrame:
+        cond = [F.col(k) == F.col(p) for k, p in zip(keys, pk)]
+        cond.append(F.col(shard) == F.col("_src"))
+        cond.append(F.col("_rn") <= F.col(bound))
+        joined = (
+            df.withColumn("_rn", F.row_number().over(rn_window))
+            .join(F.broadcast(mapping), cond, "inner")
+            .withColumn(shard, F.col("_dst"))
+            .withColumn(flag, F.lit(True))
+        )
+        return joined.select(*base.columns)
+
     if rows_before > 0:
+        # dst needs global rows [_F_dst − K, _F_dst − 1]; src < dst holds
+        # some of them iff _E_src ≥ _F_dst − K (upper bound is automatic:
+        # every src row precedes dst). In src-local DESCENDING row number
+        # q (global rn = _E_src − q + 1) the needed rows are q ≤
+        # _E_src − _F_dst + K + 1.
+        src = bounds.select(
+            *[F.col(k).alias(p) for k, p in zip(keys, pk)],
+            F.col(shard).alias("_src"),
+            F.col("_E").alias("_sE"),
+        )
+        dst = bounds.select(
+            *[F.col(k).alias(p) for k, p in zip(keys, pk)],
+            F.col(shard).alias("_dst"),
+            F.col("_F").alias("_dF"),
+        )
+        map_b = (
+            src.join(dst, pk)
+            .filter(
+                (F.col("_src") < F.col("_dst"))
+                & (F.col("_sE") >= F.col("_dF") - rows_before)
+            )
+            .select(
+                *pk,
+                "_src",
+                "_dst",
+                (F.col("_sE") - F.col("_dF") + rows_before + 1).alias("_maxq"),
+            )
+        )
         w_desc = Window.partitionBy(*parts).orderBy(F.col(order).desc())
-        tail = (
-            df.withColumn("_rn", F.row_number().over(w_desc))
-            .filter(F.col("_rn") <= rows_before)
-            .drop("_rn")
-            .withColumn(shard, F.col(shard) + 1)
-            .withColumn(flag, F.lit(True))
-        )
-        out = out.unionByName(tail)
+        out = out.unionByName(_fanout(map_b, w_desc, "_maxq"))
     if rows_after > 0:
-        w_asc = Window.partitionBy(*parts).orderBy(F.col(order).asc())
-        head = (
-            df.withColumn("_rn", F.row_number().over(w_asc))
-            .filter(F.col("_rn") <= rows_after)
-            .drop("_rn")
-            .withColumn(shard, F.col(shard) - 1)
-            .withColumn(flag, F.lit(True))
+        # dst needs global rows [_E_dst + 1, _E_dst + K]; src > dst holds
+        # some iff _F_src ≤ _E_dst + K. In src-local ASCENDING row number
+        # p (global rn = _F_src − 1 + p): p ≤ _E_dst + K − _F_src + 1.
+        src = bounds.select(
+            *[F.col(k).alias(p) for k, p in zip(keys, pk)],
+            F.col(shard).alias("_src"),
+            F.col("_F").alias("_sF"),
         )
-        out = out.unionByName(head)
+        dst = bounds.select(
+            *[F.col(k).alias(p) for k, p in zip(keys, pk)],
+            F.col(shard).alias("_dst"),
+            F.col("_E").alias("_dE"),
+        )
+        map_a = (
+            src.join(dst, pk)
+            .filter(
+                (F.col("_src") > F.col("_dst"))
+                & (F.col("_sF") <= F.col("_dE") + rows_after)
+            )
+            .select(
+                *pk,
+                "_src",
+                "_dst",
+                (F.col("_dE") + rows_after - F.col("_sF") + 1).alias("_maxp"),
+            )
+        )
+        w_asc = Window.partitionBy(*parts).orderBy(F.col(order).asc())
+        out = out.unionByName(_fanout(map_a, w_asc, "_maxp"))
     return out

@@ -104,6 +104,77 @@ def test_sharded_queries_gain_parallelism(spark, raw):
     assert keys >= 6 * n_src, f"only {keys} (source, shard) keys for {n_src} sources"
 
 
+def test_halo_sparse_and_empty_shards(spark):
+    """ADVICE r3 (high): ROWS frames count OBSERVED rows, not time — a
+    shard holding fewer rows than the halo depth (or none: a gap spanning
+    a whole shard) must still see its K global predecessors. Build a
+    series where shard 1 has a single row, shard 2 is EMPTY, and shard 3
+    resumes: lag(3) per (source, shard) with halo depth 3 must equal the
+    global per-source lag at every surviving row."""
+    steps = (
+        list(range(0, 10))                      # shard 0: dense
+        + [SHARD_STEPS + 5]                     # shard 1: one row
+        # shard 2: empty (gap spanning the whole shard)
+        + [3 * SHARD_STEPS + 1, 3 * SHARD_STEPS + 2]  # shard 3: two rows
+        + list(range(4 * SHARD_STEPS, 4 * SHARD_STEPS + 6))  # shard 4
+    )
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * len(steps) + ["b"] * 3,
+            "step": steps + [0, SHARD_STEPS, 2 * SHARD_STEPS],
+            "sum_tok": list(range(100, 100 + len(steps))) + [7, 8, 9],
+        }
+    )
+    pdf["bucket_es"] = pdf["step"] * RAW_SECONDS
+    df = with_shard(spark.createDataFrame(pdf), "step")
+    for kw in ({"rows_before": 3}, {"rows_before": 3, "rows_after": 3}):
+        sharded = halo(df, ["source"], "shard", "bucket_es", **kw)
+        w = Window.partitionBy("source", "shard").orderBy("bucket_es")
+        got = (
+            sharded.select(
+                "source", "bucket_es", "_halo",
+                F.lag("sum_tok", 3).over(w).alias("l3"),
+                F.lead("sum_tok", 2).over(w).alias("f2") if "rows_after" in kw
+                else F.lit(None).alias("f2"),
+            )
+            .filter(~F.col("_halo"))
+            .toPandas()
+            .sort_values(["source", "bucket_es"])
+            .reset_index(drop=True)
+        )
+        ref = pdf.sort_values(["source", "bucket_es"]).reset_index(drop=True)
+        want_l3 = ref.groupby("source")["sum_tok"].shift(3)
+        assert got["l3"].equals(want_l3.rename("l3")), f"lag(3) diverges ({kw})"
+        assert len(got) == len(ref)
+        if "rows_after" in kw:
+            want_f2 = ref.groupby("source")["sum_tok"].shift(-2)
+            assert got["f2"].equals(want_f2.rename("f2")), "lead(2) diverges"
+
+
+def test_halo_no_duplicate_halo_rows(spark):
+    """Each (row, dst shard) halo pair must appear exactly once even when
+    one row serves several sparse downstream shards."""
+    steps = [0, SHARD_STEPS + 1, 2 * SHARD_STEPS + 1, 3 * SHARD_STEPS + 1]
+    pdf = pd.DataFrame(
+        {"source": ["a"] * 4, "step": steps, "sum_tok": [1, 2, 3, 4]}
+    )
+    pdf["bucket_es"] = pdf["step"] * RAW_SECONDS
+    df = with_shard(spark.createDataFrame(pdf), "step")
+    sharded = halo(df, ["source"], "shard", "bucket_es", rows_before=3)
+    dup = (
+        sharded.groupBy("source", "shard", "bucket_es", "_halo")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # row at step 0 must reach shards 1, 2 AND 3 (each needs 3 predecessors)
+    fan = sharded.filter(
+        (F.col("bucket_es") == 0) & F.col("_halo")
+    ).select("shard").toPandas()["shard"].tolist()
+    assert sorted(fan) == [1, 2, 3]
+
+
 def test_sharded_ewma_crosses_boundaries(spark):
     """A series spanning several shards with a linear ramp: the sharded
     EWMA at shard-interior AND shard-boundary rows equals the direct
