@@ -133,14 +133,25 @@ def main(argv: list[str] | None = None) -> int:
         ser = pipe.read_tier(spark, "series")
         lo = int(pipe.kf_state.property("grid_lo", 0))
         m = int(pipe.kf_state.property("k_done", 0))
+        if m <= 0 or ser is None:
+            # no committed gap-fill grid yet (run_gapfill disabled, or a
+            # crash before the first state publish) — nothing to score
+            print(json.dumps({"subseries": 0, "flagged": 0, "worst": [],
+                              "note": "no committed kalman grid (k_done=0)"}))
+            spark.stop()
+            return 0
         t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
         step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
+        # series rows past the committed grid (ingested after the last
+        # gap-fill commit, or the crash window between the series and
+        # state publishes) would scatter out of the kernel's dense
+        # buffer — clamp to [0, m) like the kernel's own grid
         long = ser.select(
             F.concat_ws("/", "source", "shard").alias("doc_id"),
             step.alias("step"),
             (step * F.lit(RAW_SECONDS / DAY_SECONDS)).alias("t"),
             F.col("sum_tok").cast("double").alias("value"),
-        ).filter(F.col("step") >= 0)
+        ).filter((F.col("step") >= 0) & (F.col("step") < F.lit(m)))
         flags = kalman_fit_flags(long, t_grid, pipe.kf_cfg)
         bad = flags.filter("fit_flag")
         print(

@@ -419,11 +419,15 @@ def kalman_direct_oracle(
                 )
                 live[j] = True
                 L_live += 1
-        # LISEG segment hand-off (kf/KF_class.py:523-525), mean-only
+        # LISEG segment hand-off (kf/KF_class.py:523-525), mean-only.
+        # NON-CHAINED like the reference's vectorized m[i2] = m[i1] (the
+        # RHS is evaluated before any assignment): fancy indexing copies
+        # all sources first, so with >= 2 pairs firing at one step the
+        # second pair reads the ORIGINAL m[l1[1]], not the value pair
+        # one just substituted. A sequential Python loop would chain.
         if k in lsteps:
             posmap = np.cumsum(live) - 1
-            for j1, j2 in zip(l1, l2):
-                m[posmap[j2]] = m[posmap[j1]]
+            m[posmap[l2]] = m[posmap[l1]]
         n = len(m)
         A = np.vstack([np.eye(n), np.zeros(n)])
         A[n, :L_live] = basis_row(model, float(t[k]))[live]

@@ -671,6 +671,13 @@ class TierPipeline:
                 pairs_df = pairs_df.union(old_pairs).distinct()
             # ≤ sources × kf_shards rows — metadata-scale by construction
             pairs = [(r.source, int(r.shard)) for r in pairs_df.collect()]
+            n_src = len({s for s, _ in pairs})
+            assert len(pairs) <= max(1, n_src) * self.kf_shards, (
+                f"correct_docs collected {len(pairs)} (source, shard) pairs "
+                f"for {n_src} sources × kf_shards={self.kf_shards}; the "
+                "driver-side collect is only safe at metadata scale — if "
+                "shard cardinality grew, keep the rebuild set distributed"
+            )
             sid_s = self.series.upsert(
                 spark,
                 ser_cor,
@@ -714,13 +721,22 @@ class TierPipeline:
             return 0
         lo = int(lo)
         m = int(self.kf_state.property("k_done", 0))
+        if m <= 0:
+            # no committed gap-fill grid (run_gapfill disabled, or a crash
+            # before the first state publish): nothing to restate
+            return 0
         t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
         keys = [f"{s}/{sh}" for s, sh in pairs]
+        # series rows at/after lo + m steps were ingested after the last
+        # gap-fill commit (or sit in the series-vs-state crash window) —
+        # they are outside the committed grid and would scatter past the
+        # kernel's dense buffer
+        hi = lo + m * RAW_SECONDS
         ser = (
             self.series.read(spark)
             .withColumn("doc_id", F.concat_ws("/", "source", "shard"))
             .filter(F.col("doc_id").isin(keys))
-            .filter(F.col("bucket_es") >= F.lit(lo))
+            .filter((F.col("bucket_es") >= F.lit(lo)) & (F.col("bucket_es") < F.lit(hi)))
         )
         step = ((F.col("bucket_es") - F.lit(lo)) / RAW_SECONDS).cast("int")
         ent = F.array_sort(F.collect_list(F.struct(F.col("step"), F.col("value"))))

@@ -630,3 +630,39 @@ def test_liseg_segment_handoff_matches_oracle():
         [("LISEG", 0.0, 100.0)], T
     )
     assert not s2  # boundary outside grid → no flagged step
+
+
+def test_liseg_three_segment_handoff_non_chained():
+    """ADVICE r3 (medium): with >= 3 segments, >= 2 hand-off pairs fire at
+    every flagged step (the replicated all-pairs quirk). The reference's
+    vectorized m[i2] = m[i1] evaluates the RHS before assignment, so the
+    (s2 -> s3) pair must read the ORIGINAL s2, not the value (s1 -> s2)
+    just wrote. Batch kernel and explicit-matrix oracle must agree to the
+    golden 1e-9 on such a model — a sequentially-chained oracle loop
+    diverges at ~3e-5 here."""
+    from kfts_insar_spark.operators.kalman import (
+        KFConfig,
+        kalman_direct_batch,
+        kalman_direct_oracle,
+        liseg_adjust_schedule,
+    )
+
+    M = 72
+    T = np.arange(M) / 4.0
+    # piecewise-linear truth with breaks at t=5 and t=11
+    y = np.where(
+        T <= 5.0, 2.0 * T, np.where(T <= 11.0, 10.0 - (T - 5.0), 4.0 + 3.0 * (T - 11.0))
+    )
+    rng = np.random.default_rng(7)
+    y = y + 0.05 * rng.standard_normal(M)
+    cfg = KFConfig(
+        model=[("LISEG", 0.0, 5.0, 11.0)], sig_y=0.2, sig_i=0.1, sig_a=30.0,
+        t_sep=4,
+    )
+    steps, l1, l2 = liseg_adjust_schedule(cfg.model, T)
+    assert list(l1) == [1, 2] and list(l2) == [2, 3]
+    assert len(steps) == 2  # both boundaries inside the grid
+    res = kalman_direct_batch(y.reshape(1, -1), T, cfg)
+    ora = kalman_direct_oracle(y, T, cfg)
+    np.testing.assert_allclose(res["phase"][0], ora["phase"], rtol=1e-9)
+    np.testing.assert_allclose(res["m"][0], ora["m"], rtol=1e-9)

@@ -678,3 +678,60 @@ def test_crash_between_gap_commit_and_state_publish_heals(spark, seq, tmp_path):
     restarted.kf_state.remove_orphans(older_than_seconds=-1)
     assert not any(os.path.exists(p) for p in staged_box["files"])
     assert restarted.read_tier(spark, "state").count() == len(st_a)
+
+
+def test_quality_and_rebuild_survive_crash_window(
+    spark, seq, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r3 (low): in the gap-vs-state crash window the series tier
+    holds buckets PAST the committed grid (step >= k_done); the quality
+    subcommand and _rebuild_gapfill must clamp to the committed grid
+    instead of scattering past the kernel's dense buffer (IndexError).
+    And with NO committed grid at all (crash before the first state
+    publish / run_gapfill off), quality reports cleanly instead of
+    crashing on an empty t_grid."""
+    import json
+
+    from kfts_insar_spark import cli
+
+    base = str(tmp_path / "p")
+    pipe = TierPipeline(base, kf_shards=4)
+    split_es = seq.approxQuantile("ingest_es", [0.5], 0)[0]
+    pipe.run(spark, seq.filter(F.col("ingest_es") <= split_es))
+
+    def boom(staged, properties=None):
+        raise RuntimeError("injected crash before state publish")
+
+    pipe.kf_state.commit_staged = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(spark, seq)
+
+    # series is now ahead of the committed grid
+    m = int(pipe.kf_state.property("k_done", 0))
+    lo = int(pipe.kf_state.property("grid_lo"))
+    from kfts_insar_spark.operators.rollup import RAW_SECONDS
+
+    ser = pipe.read_tier(spark, "series")
+    assert m > 0
+    assert ser.filter(F.col("bucket_es") >= lo + m * RAW_SECONDS).count() > 0
+
+    # quality over the crashed state: must complete, scoring only the
+    # committed window (cli.main reuses the active session; keep it alive)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["quality", "--base", base])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["subseries"] > 0
+
+    # doc-level rebuild over the crashed state: clamps to the grid
+    pair_rows = (
+        ser.select("source", "shard").distinct().limit(2).collect()
+    )
+    pairs = [(r.source, int(r.shard)) for r in pair_rows]
+    assert pipe._rebuild_gapfill(spark, pairs) >= 0
+
+    # no committed grid at all -> clean note, not a crash
+    empty = TierPipeline(str(tmp_path / "empty"), kf_shards=4)
+    assert empty._rebuild_gapfill(spark, pairs) == 0
+    rc = cli.main(["quality", "--base", str(tmp_path / "empty")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["subseries"] == 0 and "note" in out
