@@ -116,11 +116,19 @@ class DedupIndex:
 
     def duplicates(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
         """Flag each doc against the CURRENT index: is_dup iff its text's
-        fingerprint is indexed with a different canonical doc. The join
-        prunes to the touched pb partitions via the upsert's partition
-        key (left join on fp; unindexed docs are not duplicates)."""
-        idx = self.tbl.read(spark)
+        fingerprint is indexed with a different canonical doc. The probe
+        batch's touched pb set (≤ 256 values, computed exactly as
+        ``ingest`` does) prunes the index read at the manifest, so a
+        narrow probe opens only its own partitions' files (left join on
+        fp; unindexed docs are not duplicates)."""
         d = docs.select("doc_id", F.md5("text").alias("fp"))
+        pbs = {
+            r.pb
+            for r in d.select(
+                F.substring("fp", 1, 2).alias("pb")
+            ).distinct().collect()
+        }
+        idx = self.tbl.read(spark, where=lambda p: p.get("pb") in pbs)
         if idx is None:
             return d.select("doc_id", F.lit(False).alias("is_dup"))
         j = d.join(idx.select("fp", "canonical_id"), "fp", "left")

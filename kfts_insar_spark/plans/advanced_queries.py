@@ -587,8 +587,91 @@ def q_pipeline_resume_consistency(spark, sf_dir):
     return spark.createDataFrame([(total,)], "n_mismatch bigint")
 
 
+# ------------------------------------------------ network island diagnostic
+N_NET_EPOCHS = 48
+NET_BREAKS = (17, 33)  # acquisition-segment starts → 3 islands
+
+
+def _net_pairs(spark):
+    """Deterministic gappy interferogram pair network WITH disconnected
+    islands: candidate edges (k−d, k) for d ≤ T_SEP, kept only when both
+    epochs fall in the same acquisition segment ([0,17), [17,33),
+    [33,48)) — no pair spans a segment break, exactly the disconnected
+    network the reference warns about — plus a hash thinning of the
+    d > 1 edges so island interiors are irregular but stay connected
+    through the d = 1 chain."""
+    eps = spark.range(N_NET_EPOCHS).select(F.col("id").cast("int").alias("k"))
+    ds = spark.range(1, T_SEP + 1).select(F.col("id").cast("int").alias("d"))
+    edges = (
+        eps.join(ds, how="cross")
+        .filter(F.col("k") >= F.col("d"))
+        .select(
+            (F.col("k") - F.col("d")).alias("t_minus"),
+            F.col("k").alias("t_plus"),
+            "d",
+        )
+    )
+
+    def seg(c):
+        return (
+            F.when(c < NET_BREAKS[0], 0)
+            .when(c < NET_BREAKS[1], 1)
+            .otherwise(2)
+        )
+
+    return (
+        edges.filter(seg(F.col("t_minus")) == seg(F.col("t_plus")))
+        .filter(
+            (F.col("d") == 1)
+            | (((F.col("t_plus") * 7 + F.col("d")) % 5) != 0)
+        )
+        .select("t_minus", "t_plus")
+    )
+
+
+def q_pairs_islands(spark, sf_dir):
+    """Network connectivity / island diagnostic — the reference's
+    ingest-time sanity gate (/root/reference/prepare_input.py:568-576:
+    ``nIslands = min(Jmat.shape) − rank(Jmat)``, warning when the pair
+    network is disconnected). For the epoch-incidence matrix of a pair
+    graph with c connected components over n epochs, rank = n − c, so
+    nIslands ≡ the component count — computed here WITHOUT any matrix
+    rank: distributed connected components (alternating large-star/
+    small-star, operators/concomp.py) over the (t_minus, t_plus) edge
+    list. Per epoch: its island id (smallest reachable epoch), the
+    island size, and the global island count.
+
+    Scale: epochs are metadata-scale (one per acquisition — thousands at
+    most), but the SAME plan runs unchanged on a per-pixel edge list;
+    concomp is shuffle-bounded O(log n) rounds."""
+    from ..operators.concomp import connected_components
+
+    edges = _net_pairs(spark).select(
+        F.col("t_minus").cast("bigint").alias("a"),
+        F.col("t_plus").cast("bigint").alias("b"),
+    )
+    comp = connected_components(edges, "a", "b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("island_size")
+    )
+    n = comp.agg(
+        F.countDistinct("component").cast("long").alias("n_islands")
+    )
+    return (
+        comp.join(sizes, "component")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").cast("long").alias("epoch"),
+            F.col("component").cast("long").alias("island_id"),
+            "island_size",
+            "n_islands",
+        )
+    )
+
+
 QUERIES = {
     "pair_reconstruction_rms": q_pair_reconstruction_rms,
+    "pairs_islands": q_pairs_islands,
     "per_obs_rms": q_per_obs_rms,
     "close_events_dedup": q_close_events_dedup,
     "model_eval_shift": q_model_eval_shift,
@@ -607,6 +690,41 @@ QUERIES = {
 _S = DSUM_SQL
 
 ORACLE_SQL = {
+    "pairs_islands": f"""
+WITH RECURSIVE raw_edges AS (
+  SELECT k - d AS t_minus, k AS t_plus, d
+  FROM (SELECT CAST(i AS INT) AS k FROM range(0, {N_NET_EPOCHS}) t(i))
+  CROSS JOIN (SELECT CAST(i AS INT) AS d FROM range(1, {T_SEP + 1}) t(i))
+  WHERE k >= d
+),
+kept AS (
+  SELECT t_minus, t_plus FROM raw_edges
+  WHERE (CASE WHEN t_minus < {NET_BREAKS[0]} THEN 0
+              WHEN t_minus < {NET_BREAKS[1]} THEN 1 ELSE 2 END)
+      = (CASE WHEN t_plus < {NET_BREAKS[0]} THEN 0
+              WHEN t_plus < {NET_BREAKS[1]} THEN 1 ELSE 2 END)
+    AND (d = 1 OR (t_plus * 7 + d) % 5 != 0)
+),
+edges AS (
+  SELECT CAST(t_minus AS BIGINT) AS u, CAST(t_plus AS BIGINT) AS v FROM kept
+  UNION
+  SELECT CAST(t_plus AS BIGINT), CAST(t_minus AS BIGINT) FROM kept
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u
+),
+lab AS (
+  SELECT u AS epoch, least(u, min(v)) AS island_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT island_id, CAST(count(*) AS BIGINT) AS island_size FROM lab GROUP BY 1
+),
+n AS (SELECT CAST(count(DISTINCT island_id) AS BIGINT) AS n_islands FROM lab)
+SELECT lab.epoch, lab.island_id, sizes.island_size, n.n_islands
+FROM lab JOIN sizes USING (island_id) CROSS JOIN n
+""",
     "pair_reconstruction_rms": f"""
 WITH ph AS ({_PHASES_SQL}),
 pairs AS (

@@ -120,3 +120,25 @@ def test_signature_probe_converges_path_graph(spark):
     out = connected_components(pairs, "a", "b")
     got = {r.node: r.component for r in out.collect()}
     assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_pairs_islands_diagnostic(spark):
+    """The reference's ingest-time network sanity gate
+    (prepare_input.py:568-576): the segmented pair network must report
+    exactly 3 islands, each epoch labeled with its segment's smallest
+    epoch, sizes matching the segment widths."""
+    from kfts_insar_spark.plans.advanced_queries import (
+        NET_BREAKS,
+        N_NET_EPOCHS,
+        q_pairs_islands,
+    )
+
+    out = q_pairs_islands(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == N_NET_EPOCHS
+    assert out["n_islands"].nunique() == 1 and out["n_islands"].iloc[0] == 3
+    b0, b1 = NET_BREAKS
+    want = {0: (0, b0), b0: (b0, b1), b1: (b1, N_NET_EPOCHS)}
+    for iid, (lo, hi) in want.items():
+        grp = out[out["island_id"] == iid]
+        assert sorted(grp["epoch"]) == list(range(lo, hi))
+        assert (grp["island_size"] == hi - lo).all()
