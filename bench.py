@@ -485,7 +485,9 @@ def main() -> None:
     # readthrough's oldest band). Input materialized once (untimed): a
     # fine-grained raw tier (1 doc per ingest slot → ~10× points) packed in
     # 6 h chunks.
-    decode_cache = f"/tmp/bench_comp_{n_docs}"
+    # v2: val_codec carries a 1-byte format tag since round 4 — old
+    # untagged caches would mis-parse
+    decode_cache = f"/tmp/bench_comp_v2_{n_docs}"
     if _want("q_decode") and not os.path.exists(decode_cache + "/_SUCCESS"):
         compress_tier(
             rollup_raw(

@@ -5,6 +5,27 @@ groupBy(source, chunk).applyInPandas — one codec call per bucket, Arrow
 batched; zero per-row Python. Chunk width defaults to 1 day of raw points
 (288 × 300 s), the same granularity the retention policy expires at, so
 dropping an expired chunk is a partition delete, never a rewrite.
+
+val_codec wire format (since round 4): 1 tag byte + stream.
+
+- tag 0x01 — fixed-width zigzag-delta int stream: the chunk's values are
+  all exactly int64-representable (token SUMS are — they're sums of
+  integer counts carried in float64, exact below 2^53), so they are cast
+  to int64 and packed as v0 + per-chunk-width zigzag deltas
+  (:func:`~..functions.codec.encode_ints_chunked`). XOR-packing
+  near-integer doubles wastes ~3× the bits: two close integer doubles
+  differ across most of the mantissa (~45 meaningful bits), while their
+  integer delta fits 10-20 bits. This is both the bytes/point win and the
+  scaling win — the compress stage was pinned to the host's DRAM-stream
+  ceiling (BENCH_CLUSTER.md), and this moves ~⅓ the bytes through the
+  packer; decode of this form is branch-free (no control-bit walk).
+- tag 0x00 — Gorilla XOR float stream (unchanged wire form after the tag),
+  used whenever any value in the chunk is fractional / NaN / ≥ 2^53
+  (e.g. the seq_gorilla_roundtrip_frac oracle's fractional values).
+
+The tag is per CHUNK, so mixed tiers (integer sums next to fractional
+averages) pick the right codec row by row. Decode dispatches on the tag
+and runs each subset through its lockstep decoder.
 """
 
 from __future__ import annotations
@@ -15,8 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.codec import (
+    decode_ints_lockstep,
     decode_timestamps_lockstep,
     decode_values_lockstep,
+    encode_ints_chunked,
     encode_timestamps_chunked,
     encode_values_chunked,
 )
@@ -56,7 +79,34 @@ def compress_tier(
         starts = np.flatnonzero(boundary)
         counts = np.diff(np.append(starts, len(src)))
         ts_codecs = encode_timestamps_chunked(ts, starts)
-        val_codecs = encode_values_chunked(vals, starts)
+
+        # per-chunk codec choice: int dod (tag 0x01) when every value is
+        # exactly int64-representable, Gorilla XOR (tag 0x00) otherwise
+        exact = (
+            np.isfinite(vals)
+            & (np.abs(vals) < 2.0**53)
+            & (vals == np.rint(vals))
+        )
+        all_int = np.logical_and.reduceat(exact, starts)
+        n_chunks = len(starts)
+        val_codecs: list[bytes] = [b""] * n_chunks
+        for want, tag, enc_fn, cast in (
+            (all_int, b"\x01", encode_ints_chunked, np.int64),
+            (~all_int, b"\x00", encode_values_chunked, np.float64),
+        ):
+            if not want.any():
+                continue
+            chunk_id = np.repeat(np.arange(n_chunks), counts)
+            pts = want[chunk_id]
+            sub_counts = counts[want]
+            sub_starts = np.concatenate(
+                [[0], np.cumsum(sub_counts)[:-1]]
+            ).astype(np.int64)
+            for j, c in zip(
+                np.flatnonzero(want),
+                enc_fn(vals[pts].astype(cast), sub_starts),
+            ):
+                val_codecs[j] = tag + c
         return pd.DataFrame(
             {
                 "source": src[starts],
@@ -98,9 +148,19 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
             ts_mat = decode_timestamps_lockstep(
                 [bytes(b) for b in pdf["ts_codec"]], ns
             )
-            v_mat = decode_values_lockstep(
-                [bytes(b) for b in pdf["val_codec"]], ns
-            )
+            vc = [bytes(b) for b in pdf["val_codec"]]
+            tags = np.array([c[0] if c else 0 for c in vc], dtype=np.int64)
+            v_mat = np.zeros(ts_mat.shape, dtype=np.float64)
+            gor = np.flatnonzero(tags == 0)
+            if len(gor):
+                m = decode_values_lockstep([vc[i][1:] for i in gor], ns[gor])
+                v_mat[gor[:, None], np.arange(m.shape[1])[None, :]] = m
+            ints = np.flatnonzero(tags == 1)
+            if len(ints):
+                m = decode_ints_lockstep(
+                    [vc[i][1:] for i in ints], ns[ints]
+                ).astype(np.float64)
+                v_mat[ints[:, None], np.arange(m.shape[1])[None, :]] = m
             mask = np.arange(ts_mat.shape[1])[None, :] < ns[:, None]
             ridx, cidx = np.nonzero(mask)
             yield pd.DataFrame(

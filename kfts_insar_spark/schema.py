@@ -102,6 +102,6 @@ COMPRESSED_TIER = T.StructType(
         T.StructField("bucket_es", T.LongType(), False),
         T.StructField("n_points", T.IntegerType(), False),
         T.StructField("ts_codec", T.BinaryType(), False),  # delta-of-delta
-        T.StructField("val_codec", T.BinaryType(), False),  # gorilla XOR
+        T.StructField("val_codec", T.BinaryType(), False),  # 1 tag byte + stream
     ]
 )

@@ -285,3 +285,97 @@ if _HYP:
         for i, n in enumerate(ns):
             assert np.array_equal(mat[i, :n], ts[off : off + n])
             off += n
+
+
+def test_int_codec_roundtrip_vectors():
+    """Fixed-width zigzag-delta int codec (val_codec tag 0x01): exact for
+    constants, single points, noise, big jumps, negatives, ±2^52."""
+    from kfts_insar_spark.functions.codec import (
+        decode_ints_lockstep,
+        encode_ints_chunked,
+    )
+
+    rng = np.random.default_rng(7)
+    chunks = [
+        np.array([5], np.int64),
+        np.array([7, 7, 7, 7], np.int64),
+        rng.integers(-30000, 30000, 288).astype(np.int64),
+        np.cumsum(rng.integers(-24000, 24000, 100)).astype(np.int64),
+        np.array([2**52, -(2**52), 0, 1], np.int64),
+        rng.integers(0, 2, 50).astype(np.int64),
+    ]
+    vals = np.concatenate(chunks)
+    starts = np.cumsum([0] + [len(c) for c in chunks])[:-1]
+    ns = np.array([len(c) for c in chunks], dtype=np.int64)
+    enc = encode_ints_chunked(vals, np.asarray(starts))
+    dec = decode_ints_lockstep([bytes(b) for b in enc], ns)
+    for i, c in enumerate(chunks):
+        assert np.array_equal(dec[i, : ns[i]], c), i
+    # the headline property: noisy 16-bit-delta ints pack ~4× tighter than
+    # the 45-bit XOR form (2 B/pt here vs ~5.6 B/pt gorilla)
+    assert sum(len(e) for e in enc) / len(vals) < 2.5
+
+
+def test_int_codec_roundtrip_property():
+    from kfts_insar_spark.functions.codec import (
+        decode_ints_lockstep,
+        encode_ints_chunked,
+    )
+
+    ints = st.integers(min_value=-(2**53), max_value=2**53)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.lists(ints, min_size=1, max_size=40), min_size=1, max_size=6)
+    )
+    def prop(chunks):
+        vals = np.array([v for c in chunks for v in c], dtype=np.int64)
+        starts = np.cumsum([0] + [len(c) for c in chunks[:-1]])
+        ns = np.array([len(c) for c in chunks], dtype=np.int64)
+        enc = encode_ints_chunked(vals, np.asarray(starts))
+        mat = decode_ints_lockstep([bytes(b) for b in enc], ns)
+        off = 0
+        for i, n in enumerate(ns):
+            assert np.array_equal(mat[i, :n], vals[off : off + n]), i
+            off += n
+
+    prop()
+
+
+def test_compress_tier_mixed_int_and_frac_chunks(spark):
+    """One tier holding integer-sum chunks AND fractional chunks: each
+    chunk picks its codec (tag byte) and the roundtrip is bit-exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for src, frac in (("ints", False), ("fracs", True), ("mixed_nan", True)):
+        for k in range(40):
+            v = float(rng.integers(0, 50000)) if not frac else float(rng.normal())
+            if src == "mixed_nan" and k % 7 == 0:
+                v = float("nan")
+            rows.append((src, 1767225600 + 300 * k, v))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "bucket_es", "sum_tok"])
+    )
+    comp = compress_tier(df)
+    tags = {
+        r.source: bytes(r.val_codec)[0]
+        for r in comp.select("source", "val_codec").collect()
+    }
+    assert tags["ints"] == 1 and tags["fracs"] == 0 and tags["mixed_nan"] == 0
+    back = (
+        decompress_tier(comp)
+        .toPandas()
+        .sort_values(["source", "bucket_es"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.toPandas().sort_values(["source", "bucket_es"]).reset_index(drop=True)
+    )
+    assert np.array_equal(
+        back["value"].to_numpy().view(np.uint64),
+        want["sum_tok"].to_numpy().view(np.uint64),
+    )
+    assert np.array_equal(back["bucket_es"].to_numpy(), want["bucket_es"].to_numpy())
