@@ -132,13 +132,22 @@ def q_doc_repetition(spark, sf_dir):
     unlike the cross-doc shingle join which needs the df cap)."""
     d = load(spark, sf_dir, "documents")
     w = _words(F.col("text"))
-    # sequence(1, n) is DESCENDING when n < 1 — guard short docs explicitly
-    tri = F.when(F.size(w) >= 3, F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+    # slices + zip_with, not element_at-over-indices — the indexed form
+    # re-splits the text per trigram element (O(words²)/doc, 11× slower
+    # measured; see _shingles). when() guards docs < 3 words (slice of
+    # negative length would raise; DuckDB range() gives empty).
+    m = F.greatest(F.size(w) - 2, F.lit(0))  # slice() throws on negative len
+    tri = F.when(
+        F.size(w) >= 3,
+        F.zip_with(
+            F.slice(w, 1, m),
+            F.zip_with(
+                F.slice(w, 2, m), F.slice(w, 3, m),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
         ),
-    )).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<string>"))
     ex = d.select("doc_id", F.explode(tri).alias("tri"))
     per_tri = ex.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
     agg = per_tri.groupBy("doc_id").agg(
@@ -250,17 +259,22 @@ def q_doc_exact_dedup(spark, sf_dir):
 
 
 def _shingles(col, n: int = 3):
-    """Distinct word n-gram shingle strings (empty for docs < n words —
-    Spark's sequence() counts DOWN for start > stop, so guard explicitly
-    to match DuckDB range()'s empty result)."""
+    """Distinct word n-gram shingle strings (empty for docs < n words).
+
+    Built from n array slices folded with zip_with — NOT element_at
+    inside a transform over indices: Catalyst inlines the split() into
+    every element_at call, so the indexed form re-splits the text per
+    gram element (O(words²) per doc — measured 11× slower on the
+    documents table). Slices evaluate the split O(n)=3 times per ROW."""
     w = _words(col)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    # clamp: when() does not guarantee the unused branch is never
+    # evaluated, and slice() throws on negative length for short docs
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    sh = F.slice(w, n, m)
+    for j in range(n - 1, 0, -1):
+        sh = F.zip_with(
+            F.slice(w, j, m), sh, lambda a, b: F.concat_ws(" ", a, b)
+        )
     empty = F.array().cast("array<string>")
     return F.when(F.size(w) >= n, F.array_distinct(sh)).otherwise(empty)
 

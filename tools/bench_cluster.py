@@ -208,11 +208,23 @@ def driver(cores_max: int) -> None:
             ).alias("h")
         ).agg(F.sum("h")).collect()
 
+    def job_scan_tiers():
+        # scan-only control for the tiers job (r3 verdict item 6): the SAME
+        # files, the SAME columns, but just a sum — no shuffle, no agg tree.
+        # If this control scales like tiers (~0.75), the tiers ceiling is
+        # the scan (file-parallelism / DRAM), not the rollup plan; if it
+        # scales ≥0.8, the gap is in the aggregation path.
+        seq = spark.read.parquet(f"{INPUT_DIR}/seqmeta")
+        seq.agg(
+            F.sum("ingest_es"), F.sum("n_tok"), F.count("source")
+        ).collect()
+
     only = os.environ.get("SCALE_JOBS")  # comma list → targeted re-runs
     timings = {}
     for name, fn in (
         ("kalman", job_kalman),
         ("tiers", job_tiers),
+        ("scan_tiers", job_scan_tiers),
         ("compress", job_compress),
         ("fingerprint", job_fingerprint),
     ):
