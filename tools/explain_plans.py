@@ -115,21 +115,24 @@ CHECKS = {
     ),
     # EWMA: fixed-frame window over the tier, single window pass — now
     # SHARD-KEYED: the window partition spec must carry the shard key
-    # (parallelism grows with history, not the 5-value source key)
+    # (parallelism grows with history, not the 5-value source key).
+    # The r4 sparse-shard halo exchange adds BROADCAST joins against the
+    # per-(key, shard) counts table (metadata-scale); shuffle joins and
+    # Python eval stay forbidden.
     "seq_ewma": (
-        [r"Window", r"shard"],
-        [r"BatchEvalPython|ArrowEvalPython|Join"],
+        [r"Window", r"shard", r"BroadcastHashJoin"],
+        [r"BatchEvalPython|ArrowEvalPython|SortMergeJoin|ShuffledHashJoin|CartesianProduct"],
     ),
     # Hampel: two rolling-median window passes, JVM percentile only,
-    # shard-keyed like EWMA
+    # shard-keyed like EWMA (same broadcast halo mapping)
     "seq_hampel": (
-        [r"Window", r"shard"],
-        [r"BatchEvalPython|ArrowEvalPython|Join"],
+        [r"Window", r"shard", r"BroadcastHashJoin"],
+        [r"BatchEvalPython|ArrowEvalPython|SortMergeJoin|ShuffledHashJoin|CartesianProduct"],
     ),
     # counter rate: (source, day) running sum + shard-keyed sampled lag
     "seq_counter_rate": (
-        [r"Window", r"shard"],
-        [r"BatchEvalPython|ArrowEvalPython|Join"],
+        [r"Window", r"shard", r"BroadcastHashJoin"],
+        [r"BatchEvalPython|ArrowEvalPython|SortMergeJoin|ShuffledHashJoin|CartesianProduct"],
     ),
     # check_fit surface: the kernel and the dense oracle are BOTH grouped
     # pandas ops (that is the operator); the join between them is on the
