@@ -485,9 +485,9 @@ def main() -> None:
     # readthrough's oldest band). Input materialized once (untimed): a
     # fine-grained raw tier (1 doc per ingest slot → ~10× points) packed in
     # 6 h chunks.
-    # v2: val_codec carries a 1-byte format tag since round 4 — old
-    # untagged caches would mis-parse
-    decode_cache = f"/tmp/bench_comp_v2_{n_docs}"
+    # v3: ts_codec and val_codec carry 1-byte format tags since round 4 —
+    # old untagged caches would mis-parse
+    decode_cache = f"/tmp/bench_comp_v3_{n_docs}"
     if _want("q_decode") and not os.path.exists(decode_cache + "/_SUCCESS"):
         compress_tier(
             rollup_raw(

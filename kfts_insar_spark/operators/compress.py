@@ -23,9 +23,22 @@ val_codec wire format (since round 4): 1 tag byte + stream.
   used whenever any value in the chunk is fractional / NaN / ≥ 2^53
   (e.g. the seq_gorilla_roundtrip_frac oracle's fractional values).
 
+ts_codec wire format (also since round 4): 1 tag byte + stream.
+
+- tag 0x00 — the delta-of-delta stream unchanged after the tag.
+- tag 0x02 — GCD-scaled dod: 4-byte big-endian g (> 1, the GCD of the
+  chunk's timestamp deltas), then the standard dod stream of the SCALED
+  series t0 + (ts − t0)/g. Bucket timestamps sit on a coarse grid
+  (300 s raw tier), so every delta — and every gap-induced dod — is a
+  multiple of the grid step; dividing by g moves dods from the 13/17-bit
+  buckets into the 8/10-bit ones (~0.80 → ~0.5 B/pt on gappy series).
+  Encode and decode are the UNCHANGED dod codec over the scaled series
+  plus one affine map per chunk.
+
 The tag is per CHUNK, so mixed tiers (integer sums next to fractional
-averages) pick the right codec row by row. Decode dispatches on the tag
-and runs each subset through its lockstep decoder.
+averages, regular next to irregular grids) pick the right codec row by
+row. Decode dispatches on the tag and runs each subset through its
+lockstep decoder.
 """
 
 from __future__ import annotations
@@ -78,7 +91,40 @@ def compress_tier(
         boundary[1:] = (src[1:] != src[:-1]) | (chunk[1:] != chunk[:-1])
         starts = np.flatnonzero(boundary)
         counts = np.diff(np.append(starts, len(src)))
-        ts_codecs = encode_timestamps_chunked(ts, starts)
+        n_chunks = len(starts)
+        chunk_id = np.repeat(np.arange(n_chunks), counts)
+
+        # ---- timestamps: per-chunk GCD scaling (tag 0x02) when g > 1
+        first = np.zeros(len(ts), dtype=bool)
+        first[starts] = True
+        d = np.empty(len(ts), dtype=np.int64)
+        d[1:] = ts[1:] - ts[:-1]
+        d[0] = 0
+        d[first] = 0
+        g_c = np.gcd.reduceat(np.abs(d), starts)  # gcd(0, x) == x
+        scaled_c = (g_c > 1) & (g_c < 2**32)  # g is a 4-byte field
+        ts_codecs: list[bytes] = [b""] * n_chunks
+        for want in (scaled_c, ~scaled_c):
+            if not want.any():
+                continue
+            pts = want[chunk_id]
+            sub_starts = np.concatenate(
+                [[0], np.cumsum(counts[want])[:-1]]
+            ).astype(np.int64)
+            sub_ts = ts[pts]
+            if want is scaled_c:
+                g_pt = g_c[chunk_id][pts]
+                t0_pt = ts[starts][chunk_id][pts]
+                sub_ts = t0_pt + (sub_ts - t0_pt) // g_pt
+            enc = encode_timestamps_chunked(sub_ts, sub_starts)
+            if want is scaled_c:
+                for j, c in zip(np.flatnonzero(want), enc):
+                    ts_codecs[j] = (
+                        b"\x02" + int(g_c[j]).to_bytes(4, "big") + c
+                    )
+            else:
+                for j, c in zip(np.flatnonzero(want), enc):
+                    ts_codecs[j] = b"\x00" + c
 
         # per-chunk codec choice: int dod (tag 0x01) when every value is
         # exactly int64-representable, Gorilla XOR (tag 0x00) otherwise
@@ -88,7 +134,6 @@ def compress_tier(
             & (vals == np.rint(vals))
         )
         all_int = np.logical_and.reduceat(exact, starts)
-        n_chunks = len(starts)
         val_codecs: list[bytes] = [b""] * n_chunks
         for want, tag, enc_fn, cast in (
             (all_int, b"\x01", encode_ints_chunked, np.int64),
@@ -96,7 +141,6 @@ def compress_tier(
         ):
             if not want.any():
                 continue
-            chunk_id = np.repeat(np.arange(n_chunks), counts)
             pts = want[chunk_id]
             sub_counts = counts[want]
             sub_starts = np.concatenate(
@@ -145,9 +189,29 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
             if not len(pdf):
                 continue
             ns = pdf["n_points"].to_numpy(np.int64)
-            ts_mat = decode_timestamps_lockstep(
-                [bytes(b) for b in pdf["ts_codec"]], ns
-            )
+            tc = [bytes(b) for b in pdf["ts_codec"]]
+            ttags = np.array([c[0] if c else 0 for c in tc], dtype=np.int64)
+            max_n = int(ns.max(initial=0))
+            ts_mat = np.zeros((len(tc), max(max_n, 1)), dtype=np.int64)
+            plain = np.flatnonzero(ttags == 0)
+            if len(plain):
+                m = decode_timestamps_lockstep(
+                    [tc[i][1:] for i in plain], ns[plain]
+                )
+                ts_mat[plain[:, None], np.arange(m.shape[1])[None, :]] = m
+            scl = np.flatnonzero(ttags == 2)
+            if len(scl):
+                g = np.array(
+                    [int.from_bytes(tc[i][1:5], "big") for i in scl],
+                    dtype=np.int64,
+                )
+                m = decode_timestamps_lockstep(
+                    [tc[i][5:] for i in scl], ns[scl]
+                )
+                # undo the affine map: ts = t0 + (ts_s - t0)·g
+                t0 = m[:, :1]
+                m = t0 + (m - t0) * g[:, None]
+                ts_mat[scl[:, None], np.arange(m.shape[1])[None, :]] = m
             vc = [bytes(b) for b in pdf["val_codec"]]
             tags = np.array([c[0] if c else 0 for c in vc], dtype=np.int64)
             v_mat = np.zeros(ts_mat.shape, dtype=np.float64)

@@ -379,3 +379,52 @@ def test_compress_tier_mixed_int_and_frac_chunks(spark):
         want["sum_tok"].to_numpy().view(np.uint64),
     )
     assert np.array_equal(back["bucket_es"].to_numpy(), want["bucket_es"].to_numpy())
+
+
+def test_compress_tier_gcd_scaled_timestamps(spark):
+    """Gappy 300 s grid → ts_codec tag 0x02 (GCD-scaled dod) and exact
+    roundtrip; an irregular (gcd=1) series keeps the plain tag 0x00."""
+    import pandas as pd
+
+    rows = []
+    # gappy but 300-aligned: deltas {300, 900, 1500} → g = 300
+    t = 1767225600
+    for k in range(60):
+        t += 300 * (1 + 2 * (k % 3))
+        rows.append(("grid", t, float(k * 10)))
+    # irregular: deltas coprime → g = 1
+    t = 1767225600
+    for k in range(60):
+        t += 301 + k
+        rows.append(("jitter", t, float(k)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "bucket_es", "sum_tok"])
+    )
+    comp = compress_tier(df)
+    tags = {
+        r.source: bytes(r.ts_codec)[0]
+        for r in comp.select("source", "ts_codec").collect()
+    }
+    assert tags["grid"] == 2 and tags["jitter"] == 0, tags
+    back = (
+        decompress_tier(comp)
+        .toPandas()
+        .sort_values(["source", "bucket_es"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.toPandas().sort_values(["source", "bucket_es"]).reset_index(drop=True)
+    )
+    assert np.array_equal(
+        back["bucket_es"].to_numpy(), want["bucket_es"].to_numpy()
+    )
+    assert np.array_equal(back["value"].to_numpy(), want["sum_tok"].to_numpy())
+    # the point of the scaling: every dod lands in the small buckets
+    # (alternating +-600/1200 gaps -> 10-bit scaled vs 13/17-bit plain)
+    r = comp.filter(F.col("source") == "grid").select(
+        F.octet_length("ts_codec").alias("b"), "n_points"
+    ).first()
+    assert r.b / r.n_points < 1.8, (r.b, r.n_points)
+
+
+from pyspark.sql import functions as F  # noqa: E402  (test helper)

@@ -98,18 +98,22 @@ def start_cluster() -> None:
             time.sleep(1)
         else:
             raise RuntimeError("standalone master did not come up")
-    # workers: count running ones by registration marker in their logs
-    running = 0
-    for i in range(1, N_WORKERS + 1):
-        lg = f"{CLUSTER_DIR}/logs/worker{i}.log"
-        if os.path.exists(lg) and "Successfully registered" in open(lg).read():
-            # crude liveness: worker dir lock — just re-check master below
-            running += 1
+    # workers: liveness by PROCESS state, never by log contents — a stale
+    # "Successfully registered" line from a killed worker made start_cluster
+    # a noop while the master had zero workers, and the driver then waited
+    # forever on "requires more resource than any of Workers could have"
+    alive = subprocess.run(
+        ["pgrep", "-fc", "deploy.worker.Worker"],
+        capture_output=True, text=True,
+    )
+    running = int(alive.stdout.strip() or 0)
     if running < N_WORKERS:
+        subprocess.run(
+            ["pkill", "-f", "deploy.worker.Worker"], check=False
+        )
+        time.sleep(2)
         for i in range(1, N_WORKERS + 1):
             lg = f"{CLUSTER_DIR}/logs/worker{i}.log"
-            if os.path.exists(lg) and "Successfully registered" in open(lg).read():
-                continue
             wenv = dict(env, SPARK_WORKER_DIR=f"{CLUSTER_DIR}/work{i}")
             with open(lg, "w") as log:
                 subprocess.Popen(
@@ -122,7 +126,17 @@ def start_cluster() -> None:
                     ],
                     stdout=log, stderr=subprocess.STDOUT, env=wenv,
                 )
-        time.sleep(12)
+        for _ in range(60):
+            time.sleep(2)
+            ok = sum(
+                1 for i in range(1, N_WORKERS + 1)
+                if "Successfully registered"
+                in open(f"{CLUSTER_DIR}/logs/worker{i}.log").read()
+            )
+            if ok >= N_WORKERS:
+                break
+        else:
+            raise RuntimeError("workers did not register with the master")
 
 
 def stop_cluster() -> None:
