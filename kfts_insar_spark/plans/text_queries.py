@@ -472,68 +472,146 @@ def q_emb_topk_cosine(spark, sf_dir):
     )
 
 
-def q_emb_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketing: 8 deterministic {−1,0,1} hyperplanes over the
-    quantized embedding → 8-bit bucket id. The bucket join (not all-pairs)
-    is what scales ANN to 10^12 vectors; bucket assignment is the
-    oracle-checked part."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized(F.col("embedding")).alias("q")
+def _lsh_planes(n: int) -> int:
+    """Sign-LSH plane count for an n-vector corpus: enough planes that the
+    EXPECTED bucket occupancy stays ≤ LSH_TARGET_OCCUPANCY, so the
+    within-bucket pair count — and with it every bucket-join ANN/near-dup
+    query — stays LINEAR in n. A fixed plane count is a silent quadratic:
+    10× the vectors → 10× per bucket → 100× the candidate pairs (caught by
+    the sf1 scale gate: 70× wall time at 10× rows). Floored at 8 so the
+    driver-scale corpora (sf0.01/sf0.1 → n ≤ 2048) keep their historical
+    8-bit buckets."""
+    import math
+
+    return min(
+        LSH_MAX_PLANES,
+        max(8, math.ceil(math.log2(max(n, 1) / LSH_TARGET_OCCUPANCY))),
     )
+
+
+LSH_TARGET_OCCUPANCY = 8
+LSH_MAX_PLANES = 24
+LSH_BANDS = 4  # OR over bands recovers the recall a single table loses
+
+
+def _lsh_coef(g: int) -> list:
+    """The 64 {−1,0,1} coefficients of global hyperplane `g`, computed in
+    PYTHON once at plan-build time (they are data-independent — burning
+    3 modular ops per row per dim in the engine was pure waste; literal
+    arrays made the Spark bucketing 3.8× faster and the DuckDB mirror
+    ~100×, and both engines now consume the SAME integers, so there is
+    no formula-translation surface left to get wrong).
+
+    Coefficient: ((n·K mod M)² mod M) mod 3 − 1 with n = g·64 + dim + 1.
+    Two earlier forms were degenerate: additive `A_g + d·40503` (40503 ≡
+    0 mod 3 and 2^31−1 ≡ 1 mod 3 ⇒ constant across all 64 dims — every
+    plane ≈ the all-ones vector, the whole corpus in 2–3 buckets, a
+    silent quadratic at ANY plane count: 100M within-bucket sf1 pairs),
+    and plain multiplicative `n·K mod M mod 3` (a LINEAR map — value
+    runs of ~4 dims, whole-plane collisions from plane 83 on). The
+    squaring is the nonlinearity; all-integer (n·K ≤ 1.6e13, x² < 4.7e18
+    — no int64 overflow). Empirically at sf1 (20k vecs, 12 planes, 4
+    bands): 15457 occupied (band, bucket) cells, max 41, 267k candidate
+    pairs — linear, balanced."""
+    out = []
+    for d in range(64):
+        x = (d + g * 64 + 1) * 2654435761 % 2147483647
+        out.append((x * x % 2147483647) % 3 - 1)
+    return out
+
+
+def _lsh_bucket_col(planes: int, band: int = 0):
+    """Bucket Column for ONE sign-LSH band over F.col("q"): `planes` sign
+    bits from deterministic sparse-ternary {−1,0,1} hyperplanes
+    (Achlioptas-style), coefficients inlined as literals (_lsh_coef).
+    Plane seeds index by `band * LSH_MAX_PLANES + p` so every band draws
+    a disjoint plane family."""
     bucket = F.lit(0).cast("long")
-    for p in range(8):
-        coef = lambda d, p=p: (  # noqa: E731
-            (F.lit((p * 64 + 1) * 2654435761) + d * F.lit(40503)) % F.lit(2147483647)
-        ) % 3 - 1
+    for p in range(planes):
+        carr = F.array(*[F.lit(c) for c in _lsh_coef(band * LSH_MAX_PLANES + p)])
         dot_p = F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.transform(F.sequence(F.lit(0), F.lit(63)), lambda d: coef(d)),
-                lambda x, c: x * c,
-            ),
+            F.zip_with(F.col("q"), carr, lambda x, c: x * c),
             F.lit(0).cast("long"),
             lambda a, v: a + v,
         )
         bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return e.select("vec_id", bucket.cast("int").alias("bucket"))
+    return bucket
 
 
-def q_emb_lsh_topk(spark, sf_dir):
-    """ANN scale path: candidates restricted to the query's LSH bucket, then
-    exact quantized cosine rank within the bucket (top-3). At 10^12 vectors
-    the bucket equi-join replaces the all-pairs cross join — this query IS
-    the pruning+verify plan, oracle-checked because the buckets are
-    deterministic integer arithmetic."""
-    from pyspark.sql import Window as W
-
+def q_emb_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing (band 0 of the banded scheme): deterministic
+    {−1,0,1} hyperplanes over the quantized embedding → bucket id. The
+    bucket join (not all-pairs) is what scales ANN to 10^12 vectors;
+    bucket assignment is the oracle-checked part. Plane count grows with
+    log(n) (see _lsh_planes); the count() here is parquet-footer
+    metadata, no data scan — a production deployment reads n from the
+    snapshot manifest's row counts."""
+    n_vecs = load(spark, sf_dir, "embeddings").count()
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     )
-    b = q_emb_lsh_buckets(spark, sf_dir)
-    eb = e.join(b, "vec_id")
+    bucket = _lsh_bucket_col(_lsh_planes(n_vecs), band=0)
+    return e.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def _lsh_banded(spark, sf_dir):
+    """(vec_id, q, n2, band, bucket) — every vector exploded to its
+    LSH_BANDS band buckets. The multi-band OR is the standard recall
+    lever: a τ-similar pair missed by one band's planes is caught by
+    another; candidate volume stays linear (× LSH_BANDS)."""
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    planes = _lsh_planes(n_vecs)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q_: p * q_),
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    n = eb.select(
-        "vec_id", "q", "bucket", dot(F.col("q"), F.col("q")).alias("n2")
+    n = e.select("vec_id", "q", dot(F.col("q"), F.col("q")).alias("n2"))
+    return n.select(
+        "vec_id",
+        "q",
+        "n2",
+        F.posexplode(
+            F.array(*[_lsh_bucket_col(planes, b) for b in range(LSH_BANDS)])
+        ).alias("band", "bucket"),
     )
-    qs = n.filter(F.col("vec_id") < 10).select(
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    """ANN scale path: candidates restricted to the query's LSH buckets
+    (any of LSH_BANDS bands), then exact quantized cosine rank (top-3).
+    At 10^12 vectors the banded bucket equi-join replaces the all-pairs
+    cross join — this query IS the pruning+verify plan, oracle-checked
+    because the buckets are deterministic integer arithmetic."""
+    from pyspark.sql import Window as W
+
+    nb = _lsh_banded(spark, sf_dir)
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q_: p * q_),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    qs = nb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
+        F.col("band").alias("qband"),
         F.col("bucket").alias("qb"),
         F.col("n2").alias("qn2"),
     )
-    j = n.join(F.broadcast(qs), F.col("bucket") == F.col("qb")).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    j = nb.join(
+        F.broadcast(qs),
+        (F.col("band") == F.col("qband")) & (F.col("bucket") == F.col("qb")),
+    ).filter(F.col("vec_id") != F.col("query_id"))
     cos = dot(F.col("q"), F.col("qv")).cast("double") / F.sqrt(
         (F.col("n2") * F.col("qn2")).cast("double")
     )
+    # distinct BEFORE ranking: a candidate hit in >1 band must count once
     scored = j.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
-    )
+    ).distinct()
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -674,25 +752,33 @@ EMB_NEARDUP_TAU = 0.3
 
 def q_emb_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the dedup mode over the
-    embedding column: candidates restricted to the same sign-LSH bucket
-    (the pruning step that avoids the 10^24 all-pairs join at 10^12
-    vectors), then EXACT quantized cosine ≥ τ verification. Integer dots +
-    one sqrt → value-exact cross-engine."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized(F.col("embedding")).alias("q")
-    )
-    b = q_emb_lsh_buckets(spark, sf_dir)
-    eb = e.join(b, "vec_id")
+    embedding column: candidates restricted to a shared sign-LSH bucket in
+    ANY of LSH_BANDS bands (the pruning step that avoids the 10^24
+    all-pairs join at 10^12 vectors; the band OR is the recall lever),
+    then EXACT quantized cosine ≥ τ verification. Integer dots + one sqrt
+    → value-exact cross-engine.
+
+    Recall honesty: per-plane collision prob for a pair at cosine s is
+    p = 1 − acos(s)/π, per-band p^planes, overall 1 − (1−p^planes)^bands.
+    Real near-dups (s ≥ 0.9 ⇒ p ≥ 0.856) are caught at ≥ 0.74 with 8
+    planes × 4 bands and ≥ 0.97 for s ≥ 0.98. THIS synthetic corpus has
+    no planted dups (max pairwise cos ≈ 0.5), so at τ = 0.3 measured
+    recall is ~0.07 — the theory value for diffuse similarity, where NO
+    sublinear scheme has high recall (the LSH exponent ρ → 1 as τ → 0).
+    The oracle mirrors the pruning, so the query stays value-exact; the
+    candidate volume stays linear in n (sf1: 267k candidates / 20k vecs,
+    max bucket 41)."""
+    nb = _lsh_banded(spark, sf_dir)
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q_: p * q_),
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    n = eb.select("vec_id", "q", "bucket", dot(F.col("q"), F.col("q")).alias("n2"))
-    a, c = n.alias("a"), n.alias("b")
+    a, c = nb.alias("a"), nb.alias("b")
     j = a.join(
         c,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = dot(F.col("a.q"), F.col("b.q")).cast("double") / F.sqrt(
@@ -705,6 +791,9 @@ def q_emb_cosine_neardup(spark, sf_dir):
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(EMB_NEARDUP_TAU))
+        # distinct: a pair colliding in >1 band is one near-dup pair (cos
+        # is recomputed identically from the same integers → stable key)
+        .distinct()
     )
 
 
@@ -842,6 +931,48 @@ QUERIES = {
 _W = _WORDS_SQL.format(c="text")
 _SHW = _SHINGLES_SQL.format(w="w")
 _STOP_IN = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+
+
+# SQL mirror of _lsh_planes: np computed from the corpus row count, each
+# of the 24 candidate planes gated on p < np (DuckDB can't vary loop
+# length on data, so the expression is generated at max width and gated)
+_LSH_NP_CTE = (
+    "np_c AS (SELECT LEAST(24, GREATEST(8, "
+    "CAST(CEIL(LOG2(GREATEST(count(*), 1) / 8.0)) AS INT))) AS np "
+    "FROM embeddings)"
+)
+
+
+def _lsh_bucket_sql(band: int) -> str:
+    """SQL mirror of _lsh_bucket_col(planes, band): the SAME literal
+    coefficient arrays (_lsh_coef) inlined into list_dot_product — no
+    formula translation between engines, just shared integers. The dot
+    is exact in the DOUBLE list_dot_product returns (|terms| ≤ 64·10⁶ ≪
+    2^53)."""
+    return " + ".join(
+        "(CASE WHEN {p} < np AND list_dot_product(qv, [{cs}]::BIGINT[]) > 0"
+        " THEN {bit} ELSE 0 END)".format(
+            p=p,
+            bit=1 << p,
+            cs=",".join(str(c) for c in _lsh_coef(band * LSH_MAX_PLANES + p)),
+        )
+        for p in range(LSH_MAX_PLANES)
+    )
+
+
+_LSH_BUCKET_EXPR = _lsh_bucket_sql(0)
+
+# banded explode: one SELECT per band, UNION ALL (the SQL mirror of
+# _lsh_banded's posexplode) — expects CTEs q (vec_id, qv) and np_c
+_LSH_BANDED_CTE = "nb AS (" + " UNION ALL ".join(
+    f"""SELECT vec_id, qv,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(qv, x -> x * x)), (acc, v) -> acc + v) AS n2,
+         {b} AS band, CAST(({_lsh_bucket_sql(b)}) AS INT) AS bucket
+  FROM q, np_c"""
+    for b in range(LSH_BANDS)
+) + ")"
+
 
 ORACLE_SQL = {
     "doc_token_count": f"""
@@ -1117,29 +1248,16 @@ WITH q AS (
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-n AS (
-  SELECT vec_id, qv,
-         CAST((
-  {" + ".join(
-      f'''(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(0, 64),
-              d -> qv[d+1] * (((CAST({(p * 64 + 1) * 2654435761} AS BIGINT) + d * 40503)
-                               % 2147483647) % 3 - 1))),
-            (acc, v) -> acc + v) > 0 THEN {1 << p} ELSE 0 END)'''
-      for p in range(8)
-  )}
-         ) AS INT) AS bucket,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(qv, x -> x * x)), (acc, v) -> acc + v) AS n2
-  FROM q
-)
-SELECT * FROM (
+{_LSH_NP_CTE},
+{_LSH_BANDED_CTE}
+SELECT DISTINCT vec_a, vec_b, cos FROM (
   SELECT aa.vec_id AS vec_a, bb.vec_id AS vec_b,
          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(range(1, 65), i -> aa.qv[i] * bb.qv[i])),
               (acc, v) -> acc + v) AS DOUBLE)
            / sqrt(CAST(aa.n2 * bb.n2 AS DOUBLE)) AS cos
-  FROM n aa JOIN n bb ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+  FROM nb aa JOIN nb bb ON aa.band = bb.band AND aa.bucket = bb.bucket
+                       AND aa.vec_id < bb.vec_id
 ) WHERE cos >= {EMB_NEARDUP_TAU}
 """,
     "emb_lsh_buckets": f"""
@@ -1147,46 +1265,32 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
-)
-SELECT vec_id, CAST((
-  {" + ".join(
-      f'''(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(0, 64),
-              d -> qv[d+1] * (((CAST({(p * 64 + 1) * 2654435761} AS BIGINT) + d * 40503)
-                               % 2147483647) % 3 - 1))),
-            (a, v) -> a + v) > 0 THEN {1 << p} ELSE 0 END)'''
-      for p in range(8)
-  )}
-) AS INT) AS bucket
-FROM q
+),
+{_LSH_NP_CTE}
+SELECT vec_id, CAST(({_LSH_BUCKET_EXPR}) AS INT) AS bucket
+FROM q, np_c
 """,
 }
 
 QUERIES["emb_lsh_topk"] = q_emb_lsh_topk
 
-# oracle composes the (generated) bucket SQL with in-bucket cosine ranking
+# oracle composes the (generated) banded bucket SQL with cosine ranking
 ORACLE_SQL["emb_lsh_topk"] = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-n AS (
-  SELECT vec_id, qv,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(qv, x -> x * x)), (a, v) -> a + v) AS n2
-  FROM q
-),
-b AS ({ORACLE_SQL["emb_lsh_buckets"]}),
-eb AS (SELECT n.vec_id, n.qv, n.n2, b.bucket FROM n JOIN b ON n.vec_id = b.vec_id),
+{_LSH_NP_CTE},
+{_LSH_BANDED_CTE},
 pairs AS (
-  SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+  SELECT DISTINCT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(range(1, 65),
                 i -> nn.qv[i] * qq.qv[i])), (a, v) -> a + v) AS DOUBLE)
            / sqrt(CAST(nn.n2 * qq.n2 AS DOUBLE)) AS cos
-  FROM eb nn JOIN (SELECT * FROM eb WHERE vec_id < 10) qq
-    ON nn.bucket = qq.bucket AND nn.vec_id != qq.vec_id
+  FROM nb nn JOIN (SELECT * FROM nb WHERE vec_id < 10) qq
+    ON nn.band = qq.band AND nn.bucket = qq.bucket AND nn.vec_id != qq.vec_id
 )
 SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos FROM (
   SELECT query_id, neighbor_id, cos,

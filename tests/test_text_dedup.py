@@ -148,3 +148,61 @@ def test_dedup_index_incremental_replay_and_flags(spark, tmp_path):
         idx.tbl.read = orig_read
     assert seen["where"] is not None
     assert seen["where"]({"pb": pb}) and not seen["where"]({"pb": "zz"})
+
+
+def test_lsh_plane_count_keeps_bucket_occupancy_bounded():
+    """r3-verdict #7 regression: a FIXED plane count makes every bucket-join
+    ANN/near-dup query quadratic (10x vectors -> 100x candidate pairs; the
+    sf1 gate measured 70x wall). _lsh_planes must grow with log(n) so the
+    expected occupancy n / 2^planes stays <= LSH_TARGET_OCCUPANCY until the
+    LSH_MAX_PLANES cap."""
+    from kfts_insar_spark.plans.text_queries import (
+        LSH_MAX_PLANES,
+        LSH_TARGET_OCCUPANCY,
+        _lsh_planes,
+    )
+
+    # historical small-corpus behavior pinned: 8 planes up to 2048 vectors
+    assert _lsh_planes(1) == 8
+    assert _lsh_planes(2048) == 8
+    # monotone nondecreasing, capped
+    prev = 0
+    for n in (1, 100, 2048, 20480, 2 * 10**5, 2 * 10**6, 10**12):
+        p = _lsh_planes(n)
+        assert prev <= p <= LSH_MAX_PLANES
+        prev = p
+    # occupancy bound holds everywhere the cap allows
+    for n in (2048, 4096, 20480, 10**6, LSH_TARGET_OCCUPANCY * 2**LSH_MAX_PLANES):
+        assert n / 2 ** _lsh_planes(n) <= LSH_TARGET_OCCUPANCY
+    # sf1-scale corpus (20480 vectors) gets strictly more planes than sf0.1
+    assert _lsh_planes(20480) > _lsh_planes(2048)
+
+
+def test_lsh_plane_coefficients_not_degenerate():
+    """Root cause of the sf1 quadratic: the old additive seed walk
+    (A_p + d*40503, with 40503 % 3 == 0 and 2^31-1 % 3 == 1) made every
+    plane's coefficient CONSTANT across dims -> all planes ~ the all-ones
+    vector -> 2-3 buckets for the whole corpus. Pin that each plane's
+    coefficient vector varies across dims and planes differ from each
+    other."""
+    from kfts_insar_spark.plans.text_queries import (
+        LSH_BANDS,
+        LSH_MAX_PLANES,
+        _lsh_coef,
+    )
+
+    def coefs(band, p):
+        return tuple(_lsh_coef(band * LSH_MAX_PLANES + p))
+
+    seen = set()
+    for band in range(LSH_BANDS):
+        for p in range(LSH_MAX_PLANES):
+            c = coefs(band, p)
+            # varies within the plane (the old form failed exactly this)
+            assert len(set(c)) == 3, (band, p, set(c))
+            # roughly balanced: no value hogs > 60% of dims
+            for v in (-1, 0, 1):
+                assert c.count(v) <= 39, (band, p, v, c.count(v))
+            # distinct from every other plane in every band
+            assert c not in seen
+            seen.add(c)
