@@ -206,3 +206,29 @@ def test_lsh_plane_coefficients_not_degenerate():
             # distinct from every other plane in every band
             assert c not in seen
             seen.add(c)
+
+
+def test_lsh_buckets_spread_end_to_end(spark, tmp_path):
+    """End-to-end degenerate-hash guard: on a synthetic corpus of spread-out
+    unit vectors, the sign-LSH bucketing must produce MANY buckets with a
+    bounded max. The round-3 coefficient bug put the whole corpus in 2-3
+    buckets (quadratic candidates) while every per-pair oracle check still
+    passed -- only this distribution property catches it."""
+    import numpy as np
+
+    from kfts_insar_spark.plans.text_queries import q_emb_lsh_buckets
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(512, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": range(512), "embedding": [v.astype("float64") for v in vecs]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    b = q_emb_lsh_buckets(spark, str(tmp_path))
+    sizes = [r.c for r in b.groupBy("bucket").agg(F.count("*").alias("c")).collect()]
+    # 512 spread vectors over 2^8 buckets: expect >= 64 occupied, none huge
+    assert len(sizes) >= 64, f"only {len(sizes)} buckets - degenerate planes?"
+    assert max(sizes) <= 64, f"max bucket {max(sizes)} - degenerate planes?"
