@@ -326,14 +326,20 @@ def q_doc_ngram_jaccard_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     )
-    ex0 = d.select("doc_id", F.explode("sh").alias("s"))
+    # persist the exploded shingles: they feed THREE consumers (df filter,
+    # per-doc set size, intersection join) and the shingle construction
+    # (split + n slices + zip_with folds) dominates — recomputing it per
+    # consumer measured 13.8 s vs 5.3–6.7 s persisted at sf0.1 (cold,
+    # fresh persist each run). MEMORY_AND_DISK default spills at scale;
+    # the ContextCleaner unpersists when the returned plan is released.
+    ex0 = d.select("doc_id", F.explode("sh").alias("s")).persist()
     keep = (
         ex0.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= F.lit(NGRAM_DF_CAP))
         .select("s")
     )
-    kept = ex0.join(keep, "s")  # equi-join on shingle (reused key below)
+    kept = ex0.join(keep, "s").persist()  # equi-join on shingle (reused below)
     n_sh = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     ex = kept.join(n_sh, "doc_id")
     a, b = ex.alias("a"), ex.alias("b")
@@ -365,7 +371,7 @@ def q_doc_minhash_lsh(spark, sf_dir):
     same-bucket rows — the dedup plan that survives 10^12 docs."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
-    )
+    ).persist()  # feeds the df filter AND the cap join — build shingles once
     # same document-frequency cap as the Jaccard path: hot shingles add no
     # signature signal and skew the min-hash shuffle key
     keep = (
@@ -394,6 +400,10 @@ def q_doc_minhash_lsh(spark, sf_dir):
         mh.withColumn("band", (F.col("j") / 4).cast("int"))
         .groupBy("doc_id", "band")
         .agg((F.sum(F.col("mh") % F.lit(P) * w31) % F.lit(P)).alias("band_key"))
+        # persist: the self-join below would otherwise run the ENTIRE
+        # signature pipeline (explode → cap → ×K crossJoin → 2 groupBys)
+        # twice; bands is tiny (docs × LSH bands rows)
+        .persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -582,6 +592,11 @@ def _lsh_banded(spark, sf_dir):
         F.posexplode(
             F.array(*[_lsh_bucket_col(planes, b) for b in range(LSH_BANDS)])
         ).alias("band", "bucket"),
+        # NOT persisted although both consumers self-join it: caching the
+        # wide q-array rows forces the join sides through the columnar
+        # cache and measured 8× SLOWER than recomputing the literal-array
+        # bucketing (2.8 s → 21.6 s at sf0.1) — the hash is cheaper than
+        # the cache round-trip
     )
 
 
