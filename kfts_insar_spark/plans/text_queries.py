@@ -883,7 +883,7 @@ def q_doc_contamination(spark, sf_dir):
     the decontamination pass every training pipeline runs at full scale."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.col("text")).alias("sh")
-    )
+    ).persist()  # two consumers (eval set, corpus) — build shingles once
     is_eval = F.col("doc_id") % 97 == 0
     eval_sh = (
         d.filter(is_eval)
