@@ -725,7 +725,9 @@ def q_emb_ivf_topk(spark, sf_dir):
         lambda a, v: a + v,
     )
     n = e.select("vec_id", "q", dot(F.col("q"), F.col("q")).alias("n2"))
-    cents = _ivf_train(n, dot)
+    # persist: 16 rows, but TWO consumers (assignment, probe lists) would
+    # each re-run the full Lloyd training over the corpus without it
+    cents = _ivf_train(n, dot).persist()
     # assignment: nearest centroid per vector (ties → lowest cell id)
     d2 = F.col("n2") + F.col("cn2") - 2 * dot(F.col("q"), F.col("cv"))
     w_v = W.partitionBy("vec_id").orderBy("d2", "cell")
