@@ -514,6 +514,14 @@ def encode_ints_chunked(vals: np.ndarray, starts: np.ndarray) -> list[bytes]:
         zmax.astype(np.uint32),
         _bl32,
     )
+    if w_c.max(initial=0) > 63:
+        # the width lives in a 6-bit field; a 64-bit zigzag delta
+        # (|delta| >= 2^62) would silently wrap it and corrupt the chunk
+        raise ValueError(
+            "encode_ints_chunked: chunk delta needs a 64-bit field; inputs "
+            "must satisfy |v_k - v_{k-1}| < 2^62 (compress_tier guards "
+            "|v| < 2^53 and never hits this)"
+        )
     f_vals = np.empty(2 * N, dtype=np.uint64)
     f_bits = np.zeros(2 * N, dtype=np.int64)
     f_vals[0::2] = np.where(first, iv.view(np.uint64), z)

@@ -60,6 +60,17 @@ from ..schema import COMPRESSED_TIER
 
 CHUNK_SECONDS = 86400
 
+# Wire-format version of the per-chunk tagged codec streams. Bumped when the
+# byte layout changes (v2 = round-4 tagged streams; pre-round-4 untagged
+# streams have NO version property and are rejected at read time — an old
+# ts stream's first byte is 0x00, which would silently parse as tag 0 with
+# the whole stream shifted by one byte). Recorded in the compressed tier's
+# snapshot properties by the pipeline and checked by ``Pipeline.read_tier``.
+CODEC_FORMAT = 2
+
+_TS_TAGS = frozenset({0x00, 0x02})
+_VAL_TAGS = frozenset({0x00, 0x01})
+
 
 def compress_tier(
     tier: DataFrame,
@@ -190,7 +201,14 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
                 continue
             ns = pdf["n_points"].to_numpy(np.int64)
             tc = [bytes(b) for b in pdf["ts_codec"]]
-            ttags = np.array([c[0] if c else 0 for c in tc], dtype=np.int64)
+            for c in tc:
+                if not c or c[0] not in _TS_TAGS:
+                    raise ValueError(
+                        "decompress_tier: unknown ts_codec tag byte "
+                        f"{c[:1]!r} — corrupt chunk or pre-v{CODEC_FORMAT} "
+                        "untagged stream (re-materialize the compressed tier)"
+                    )
+            ttags = np.array([c[0] for c in tc], dtype=np.int64)
             max_n = int(ns.max(initial=0))
             ts_mat = np.zeros((len(tc), max(max_n, 1)), dtype=np.int64)
             plain = np.flatnonzero(ttags == 0)
@@ -213,7 +231,14 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
                 m = t0 + (m - t0) * g[:, None]
                 ts_mat[scl[:, None], np.arange(m.shape[1])[None, :]] = m
             vc = [bytes(b) for b in pdf["val_codec"]]
-            tags = np.array([c[0] if c else 0 for c in vc], dtype=np.int64)
+            for c in vc:
+                if not c or c[0] not in _VAL_TAGS:
+                    raise ValueError(
+                        "decompress_tier: unknown val_codec tag byte "
+                        f"{c[:1]!r} — corrupt chunk or pre-v{CODEC_FORMAT} "
+                        "untagged stream (re-materialize the compressed tier)"
+                    )
+            tags = np.array([c[0] for c in vc], dtype=np.int64)
             v_mat = np.zeros(ts_mat.shape, dtype=np.float64)
             gor = np.flatnonzero(tags == 0)
             if len(gor):

@@ -43,6 +43,13 @@ from pyspark.sql import functions as F
 SHARD_STEPS = 64
 
 
+def _all(conds):
+    out = None
+    for c in conds:
+        out = c if out is None else (out & c)
+    return out if out is not None else F.lit(True)
+
+
 def with_shard(df: DataFrame, step_col, name: str = "shard") -> DataFrame:
     """Attach the time-range shard id: shard = step div SHARD_STEPS
     (exact integral division — never `/`-then-cast)."""
@@ -109,7 +116,10 @@ def halo(
     pk = [f"_pk_{k}" for k in keys]
 
     def _fanout(mapping: DataFrame, rn_window: Window, bound: str) -> DataFrame:
-        cond = [F.col(k) == F.col(p) for k, p in zip(keys, pk)]
+        # eqNullSafe: a null-keyed series is still one series — the plain
+        # equality would never route halo rows to it and its cross-shard
+        # windows would silently lose exactness
+        cond = [F.col(k).eqNullSafe(F.col(p)) for k, p in zip(keys, pk)]
         cond.append(F.col(shard) == F.col("_src"))
         cond.append(F.col("_rn") <= F.col(bound))
         joined = (
@@ -132,12 +142,15 @@ def halo(
             F.col("_E").alias("_sE"),
         )
         dst = bounds.select(
-            *[F.col(k).alias(p) for k, p in zip(keys, pk)],
+            *[F.col(k).alias(f"{p}2") for k, p in zip(keys, pk)],
             F.col(shard).alias("_dst"),
             F.col("_F").alias("_dF"),
         )
         map_b = (
-            src.join(dst, pk)
+            src.join(
+                dst,
+                _all(F.col(p).eqNullSafe(F.col(f"{p}2")) for p in pk),
+            )
             .filter(
                 (F.col("_src") < F.col("_dst"))
                 & (F.col("_sE") >= F.col("_dF") - rows_before)
@@ -161,12 +174,15 @@ def halo(
             F.col("_F").alias("_sF"),
         )
         dst = bounds.select(
-            *[F.col(k).alias(p) for k, p in zip(keys, pk)],
+            *[F.col(k).alias(f"{p}2") for k, p in zip(keys, pk)],
             F.col(shard).alias("_dst"),
             F.col("_E").alias("_dE"),
         )
         map_a = (
-            src.join(dst, pk)
+            src.join(
+                dst,
+                _all(F.col(p).eqNullSafe(F.col(f"{p}2")) for p in pk),
+            )
             .filter(
                 (F.col("_src") > F.col("_dst"))
                 & (F.col("_sF") <= F.col("_dE") + rows_after)

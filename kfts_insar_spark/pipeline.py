@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointLog
-from .operators.compress import compress_tier
+from .operators.compress import CODEC_FORMAT, compress_tier
 from .operators.kalman import (
     KFConfig,
     explode_kf_output,
@@ -287,7 +287,10 @@ class TierPipeline:
             # ---- compressed raw chunks for affected days (Gorilla)
             c_inc = compress_tier(raw_days).withColumn("pday", _pday())
             sid_c = self.comp.overwrite_partitions(
-                c_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
+                c_inc,
+                ["pday"],
+                properties={"watermark_es": wm, "codec_format": CODEC_FORMAT},
+                coalesce=4,
             )
             return sid_c, self.comp.last_commit_rows(), self.comp.manifest()["files"]
 
@@ -672,12 +675,16 @@ class TierPipeline:
             # ≤ sources × kf_shards rows — metadata-scale by construction
             pairs = [(r.source, int(r.shard)) for r in pairs_df.collect()]
             n_src = len({s for s, _ in pairs})
-            assert len(pairs) <= max(1, n_src) * self.kf_shards, (
-                f"correct_docs collected {len(pairs)} (source, shard) pairs "
-                f"for {n_src} sources × kf_shards={self.kf_shards}; the "
-                "driver-side collect is only safe at metadata scale — if "
-                "shard cardinality grew, keep the rebuild set distributed"
-            )
+            if len(pairs) > max(1, n_src) * self.kf_shards:
+                # production-path invariant — a bare assert is stripped
+                # under python -O, silently disabling this guard
+                raise RuntimeError(
+                    f"correct_docs collected {len(pairs)} (source, shard) "
+                    f"pairs for {n_src} sources × kf_shards="
+                    f"{self.kf_shards}; the driver-side collect is only "
+                    "safe at metadata scale — if shard cardinality grew, "
+                    "keep the rebuild set distributed"
+                )
             sid_s = self.series.upsert(
                 spark,
                 ser_cor,
@@ -867,4 +874,14 @@ class TierPipeline:
             "gapfilled": self.gap,
             "state": self.kf_state,
         }[tier]
+        if tier == "compressed" and tbl.current_snapshot_id() is not None:
+            fmt = tbl.property("codec_format")
+            if fmt is None or int(fmt) != CODEC_FORMAT:
+                raise ValueError(
+                    f"compressed tier at {tbl.path} has codec_format={fmt!r}, "
+                    f"engine expects v{CODEC_FORMAT}; pre-upgrade untagged "
+                    "chunks would decode to garbage — re-materialize the "
+                    "tier (re-run the pipeline over the raw tier) before "
+                    "reading it"
+                )
         return tbl.read(spark, snapshot_id)

@@ -428,3 +428,34 @@ def test_compress_tier_gcd_scaled_timestamps(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402  (test helper)
+
+
+def test_decompress_rejects_unknown_tag(spark):
+    """ADVICE r4 (medium): an unrecognized tag byte must raise, never
+    silently decode the chunk as zeros (or, for a legacy untagged ts
+    stream whose first byte happens to be 0x00, as a one-byte-shifted
+    garbage series)."""
+    import pandas as pd
+
+    rows = [("s", 1767225600 + 300 * k, float(k)) for k in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "bucket_es", "sum_tok"])
+    )
+    good = compress_tier(df).toPandas()
+    for col in ("ts_codec", "val_codec"):
+        bad = good.copy()
+        bad[col] = bad[col].map(lambda b: b"\x7f" + bytes(b)[1:])
+        with pytest.raises(Exception, match=f"unknown {col} tag"):
+            decompress_tier(spark.createDataFrame(bad)).collect()
+
+
+def test_encode_ints_rejects_64bit_delta():
+    """ADVICE r4 (low): the delta width lives in a 6-bit field; a delta
+    needing 64 bits must raise instead of wrapping the width and
+    corrupting the chunk (previously [0, 2^62] roundtripped to [0, 0])."""
+    from kfts_insar_spark.functions.codec import encode_ints_chunked
+
+    with pytest.raises(ValueError, match="2\\^62"):
+        encode_ints_chunked(
+            np.array([0, 2**62], np.int64), np.array([0], np.int64)
+        )

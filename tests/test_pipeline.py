@@ -735,3 +735,25 @@ def test_quality_and_rebuild_survive_crash_window(
     rc = cli.main(["quality", "--base", str(tmp_path / "empty")])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["subseries"] == 0 and "note" in out
+
+
+def test_read_tier_rejects_legacy_codec_format(spark, seq, tmp_path):
+    """ADVICE r4 (medium): resuming a pre-upgrade table directory must fail
+    loudly — a legacy untagged ts stream's first byte is 0x00 (epoch t0 <
+    2^56), which would silently parse as tag 0 shifted by one byte."""
+    import json
+    import os
+
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    assert pipe.read_tier(spark, "compressed").count() > 0  # current format ok
+
+    sid = pipe.comp.current_snapshot_id()
+    mpath = os.path.join(pipe.comp.path, "manifests", f"{sid}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["properties"]["codec_format"]  # simulate a pre-upgrade table
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="codec_format"):
+        pipe.read_tier(spark, "compressed")

@@ -215,3 +215,42 @@ def test_sharded_ewma_crosses_boundaries(spark):
                 den += w
             w *= 0.5
         assert got.loc[idx, "ewma"] == num / den, f"row {idx}"
+
+
+def test_halo_null_keyed_series_exact(spark):
+    """ADVICE r4 (low): a NULL-keyed series is still one series. The halo
+    fan-out routes rows via a key equi-join; with plain `==` the null key
+    never matches and the null series silently loses cross-shard halo
+    rows. eqNullSafe must keep it exact vs the global window."""
+    rows = []
+    for src in ("a", None):
+        for k in range(40):
+            # stride 20 steps → ~3 rows per 64-step shard: lag(3) always
+            # crosses a shard boundary
+            rows.append(
+                (src, (k * 20) * RAW_SECONDS, float(k * 3 + (src is None)))
+            )
+    df = spark.createDataFrame(rows, "source string, bucket_es long, sum_tok double")
+    sharded = halo(
+        with_shard(
+            df.withColumn("step", (F.col("bucket_es") / RAW_SECONDS).cast("long")),
+            "step",
+        ),
+        ["source"],
+        "shard",
+        "bucket_es",
+        rows_before=3,
+    )
+    w = Window.partitionBy("source", "shard").orderBy("bucket_es")
+    got = (
+        sharded.select(
+            "source", "bucket_es", "_halo", F.lag("sum_tok", 3).over(w).alias("l3")
+        )
+        .filter(~F.col("_halo"))
+        .toPandas()
+        .sort_values(["source", "bucket_es"])
+        .reset_index(drop=True)
+    )
+    pdf = df.toPandas().sort_values(["source", "bucket_es"]).reset_index(drop=True)
+    want = pdf.groupby("source", dropna=False)["sum_tok"].shift(3)
+    assert got["l3"].equals(want.reset_index(drop=True).rename("l3"))

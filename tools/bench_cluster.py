@@ -146,9 +146,19 @@ def stop_cluster() -> None:
     )
 
 
-def driver(cores_max: int) -> None:
+def driver(cores_max: int, pkg_root: str | None = None) -> None:
     """Child: one driver app pinned to cores_max total cores → exactly
-    cores_max/WORKER_CORES executors, each an isolated 8-core JVM."""
+    cores_max/WORKER_CORES executors, each an isolated 8-core JVM.
+
+    ``pkg_root`` (A/B mode) prepends a checkout of a PREVIOUS round's repo
+    to sys.path, so the whole job — driver plans AND the executor-side
+    package zip (packaging._PKG_DIR follows the import) — runs that
+    round's engine code under the identical harness, cluster, and input.
+    """
+    if pkg_root:
+        sys.path.insert(0, pkg_root)
+        for m in [m for m in sys.modules if m.startswith("kfts_insar_spark")]:
+            del sys.modules[m]
     import numpy as np
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -259,9 +269,106 @@ def driver(cores_max: int) -> None:
     print("RESULT " + json.dumps(timings))
 
 
+def ab_main() -> None:
+    """One-window interleaved HEAD-vs-previous-round A/B of the cluster
+    kalman job (r4 verdict item 1): W5/W6 measured kalman 4-exec scaling at
+    0.60 vs W2's 0.821 record with the 1-exec level pinned at W2's value —
+    this separates "every post-W2 window had a worse memory bus" from "a
+    post-W2 package change added 4-executor memory traffic", by running the
+    r3-tag engine code and HEAD in the SAME window on the SAME cluster and
+    input, interleaved per level, with the hardware ceilings sampled in the
+    same window. The ref defaults to the commit that recorded
+    BENCH_r03.json (the round-3 code that set the W2 record), overridable
+    via SCALE_AB_REF.
+    """
+    import shutil as _sh
+    import tempfile as _tmp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = os.environ.get("SCALE_AB_REF")
+    if not ref:
+        ref = subprocess.run(
+            ["git", "rev-list", "-1", "HEAD", "--", "BENCH_r03.json"],
+            cwd=repo, capture_output=True, text=True,
+        ).stdout.strip()
+    if not ref:
+        raise SystemExit("no A/B ref (BENCH_r03.json has no commit)")
+    materialize()
+    start_cluster()
+    env = dict(
+        os.environ,
+        PYSPARK_PYTHON=sys.executable,
+        PYSPARK_DRIVER_PYTHON=sys.executable,
+        SCALE_JOBS="kalman",
+    )
+    wt = _tmp.mkdtemp(prefix="cluster_ab_wt_")
+    wtd = os.path.join(wt, "prev")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wtd, ref],
+        cwd=repo, check=True, capture_output=True,
+    )
+
+    def run_child(cores: int, pkg: str | None) -> float:
+        cmd = [sys.executable, os.path.abspath(__file__), "--driver", str(cores)]
+        if pkg:
+            cmd += ["--pkg", pkg]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, env=env, cwd=repo,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        got = json.loads(line[len("RESULT "):])
+        return got["kalman"]
+
+    rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+    best: dict[tuple[str, int], float] = {}
+    try:
+        for _ in range(rounds):
+            # adjacent per level: head-8, prev-8, head-32, prev-32 — any
+            # bus-weather drift hits both sides of each comparison equally
+            for cores in (WORKER_CORES, N_WORKERS * WORKER_CORES):
+                for side, pkg in (("head", None), ("prev", wtd)):
+                    t = run_child(cores, pkg)
+                    k = (side, cores)
+                    best[k] = min(best.get(k, float("inf")), t)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wtd],
+            cwd=repo, capture_output=True,
+        )
+        _sh.rmtree(wt, ignore_errors=True)
+    ctrl = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "scaling_controls.py")],
+        capture_output=True, text=True,
+    ).stdout.strip().splitlines()
+    controls = json.loads(ctrl[-1]) if ctrl else {}
+    n, n4 = WORKER_CORES, N_WORKERS * WORKER_CORES
+    rep = {"mode": "cluster-ab", "prev_ref": ref[:12], "rounds": rounds,
+           "controls": controls, "sides": {}}
+    for side in ("head", "prev"):
+        t1, t4 = best[(side, n)], best[(side, n4)]
+        rep["sides"][side] = {
+            "sec_1exec": round(t1, 2),
+            "sec_4exec": round(t4, 2),
+            "efficiency": round((t1 / t4) / (n4 / n), 3),
+        }
+    rep["ab_ratio_1exec"] = round(
+        best[("head", n)] / best[("prev", n)], 3
+    )
+    rep["ab_ratio_4exec"] = round(
+        best[("head", n4)] / best[("prev", n4)], 3
+    )
+    print(json.dumps(rep, indent=2))
+
+
 def main() -> None:
     if "--driver" in sys.argv:
-        driver(int(sys.argv[sys.argv.index("--driver") + 1]))
+        pkg = (
+            sys.argv[sys.argv.index("--pkg") + 1] if "--pkg" in sys.argv else None
+        )
+        driver(int(sys.argv[sys.argv.index("--driver") + 1]), pkg)
+        return
+    if "--ab" in sys.argv:
+        ab_main()
         return
     if "--stop" in sys.argv:
         stop_cluster()
