@@ -1,15 +1,40 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: REAL binary codecs (PPM / WAV / PPM-stream video)
+over opaque `binary` payloads + typed metadata.
 
 A 100 TB training-data pipeline carries image/audio/video as `binary`
-columns with typed metadata and runs decode / feature-extract / resize /
-frame-sample as Arrow-batched UDFs. The image/audio codecs are NOT in this
-container, so the decode step is STUBBED (deterministic fake by default,
-`NotImplementedError` in strict mode) — but everything Spark-side is real
-and tested: schema, partitioning, mapInPandas batch shape, UDF signatures.
+columns and runs decode / feature-extract / resize / frame-sample as
+Arrow-batched UDFs. No image/audio libraries ship in this container, so —
+exactly like `sources/netcdf3.py` did for NetCDF-3/GMT grd — the codecs
+here parse PUBLIC fixed-byte-layout formats in pure numpy:
+
+- image: binary PPM (P6) — `P6\\n<w> <h>\\n255\\n` + w·h·3 raw RGB bytes
+  (Netpbm spec, public since the 1980s).
+- audio: RIFF/WAVE PCM — `RIFF<size>WAVE` + `fmt ` chunk (PCM16, mono)
+  + `data` chunk of little-endian int16 samples (Microsoft RIFF spec).
+- video: a concatenated-PPM frame stream (`image2pipe`-style ppm stream,
+  the rawvideo interchange form) — frame k is the k-th P6 image in the
+  byte stream.
+
+The decode step is the per-item codec boundary; everything after it is
+batch numpy (one concatenate, reduceat sums, one bincount histogram) —
+no per-row Python beyond the codec call, mirroring the engine's kalman /
+gorilla kernels.
+
+Synthesis is deterministic FROM TABLE COLUMNS ONLY (doc_id, n_chars), so
+every feature query has a closed-form DuckDB oracle over `documents`:
+pixel j of doc d is `(n_chars%256 + 37·j) mod 256`; audio sample k is
+`((n_chars%256)·31 + 7·k) mod 4096 − 2048`. The Spark side round-trips
+through REAL encoded bytes (encode → decode → batch stats); the oracle
+replays the generating formula in SQL — value-exact equality proves the
+whole codec + batch-feature path.
+
+Reference analogue: KFTS-InSAR's flat-binary raster ingest
+(/root/reference/kf/utils/tsio.py:18-98, np.memmap of BIL/BSQ/BIP byte
+layouts) — same "public byte layout parsed directly" pattern.
 
 Layout convention:
     payload: binary           -- opaque encoded bytes
-    media_type: string        -- 'image/png', 'audio/wav', …
+    media_type: string        -- 'image/x-portable-pixmap', 'audio/wav', …
     meta: struct<width:int, height:int, n_channels:int, duration_ms:int>
 """
 
@@ -27,44 +52,262 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, n_channels:int, duration_ms:int>"
 )
 
-STRICT_DECODE = False  # True → decode raises NotImplementedError (no codecs here)
+# deterministic pixel / sample generators (shared with the SQL oracles)
+PX_STRIDE = 37  # pixel j = (seed + 37 j) mod 256
+AU_MULT, AU_STRIDE, AU_MOD, AU_MID = 31, 7, 4096, 2048
+WAV_RATE = 8000  # Hz, mono PCM16
 
 
-def synth_media(docs: DataFrame, media_type: str = "image/png") -> DataFrame:
-    """Attach a deterministic opaque payload + metadata to each doc —
-    payload = repeated md5 bytes of the text (stands in for encoded pixels),
-    metadata derived from n_chars. Pure Catalyst expressions."""
-    return docs.select(
-        "doc_id",
-        F.unhex(F.md5("text")).alias("payload"),
-        F.lit(media_type).alias("media_type"),
-        F.struct(
-            (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
-            (F.col("n_chars") % 48 + 16).cast("int").alias("height"),
-            F.lit(3).cast("int").alias("n_channels"),
-            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
-        ).alias("meta"),
+# ------------------------------------------------------------------ PPM (P6)
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes (Netpbm P6, maxval 255)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"P6 carries exactly 3 channels, got {c}")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Parse one P6 image at ``offset`` → ((h, w, 3) uint8, next offset).
+
+    Real header parse: magic check, whitespace-delimited width/height/
+    maxval tokens (comments not emitted by our encoder but the separator
+    walk is spec-faithful), then exactly w·h·3 raw bytes. The returned
+    offset supports walking concatenated-PPM video streams.
+    """
+    if buf[offset : offset + 2] != b"P6":
+        raise ValueError(
+            f"not a P6 PPM at offset {offset}: magic={buf[offset:offset+2]!r}"
+        )
+    pos = offset + 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster (spec)
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    n = w * h * 3
+    raster = buf[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated P6 raster: want {n}, have {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3), pos + n
+
+
+# ------------------------------------------------------------------ WAV PCM
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes (canonical 44-byte header)."""
+    pcm = samples.astype("<i2").tobytes()
+    n = len(pcm)
+    hdr = (
+        b"RIFF"
+        + (36 + n).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+        + b"data"
+        + n.to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM16 bytes → int16 numpy samples (real chunk walk)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE stream: {buf[:12]!r}")
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(buf[body : body + 2], "little")
+            bits = int.from_bytes(buf[body + 14 : body + 16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok:
+                raise ValueError("WAV data chunk before fmt chunk")
+            return np.frombuffer(buf[body : body + size], dtype="<i2")
+        pos = body + size + (size & 1)  # chunks are word-aligned (RIFF spec)
+    raise ValueError("WAV stream has no data chunk")
+
+
+# ------------------------------------------------------------------ synthesis
+def _px_series(seed: int, n: int) -> np.ndarray:
+    return ((seed + PX_STRIDE * np.arange(n, dtype=np.int64)) % 256).astype(
+        np.uint8
     )
 
 
-def _decode_stub(
-    payload: bytes, width: int, height: int, channels: int, strict: bool | None = None
-) -> np.ndarray:
-    """STUB for the real image decode (no PIL/libjpeg in this container).
+def synth_media(
+    docs: DataFrame, media_type: str = "image/x-portable-pixmap"
+) -> DataFrame:
+    """documents → one REAL binary-PPM payload per doc.
 
-    Deterministic fake: tiles the payload bytes into the declared (h, w, c)
-    shape — preserving the real decode's contract (shape, dtype, per-row
-    determinism) so downstream feature extraction is fully testable.
+    Dimensions and pixels derive from `n_chars` only (SQL-replayable):
+    w = n_chars%64+16, h = n_chars%48+16, pixel j = (n_chars%256 + 37j)%256.
+    The encode is the per-item codec boundary; the j-series is one
+    vectorized arange per doc.
     """
-    if STRICT_DECODE if strict is None else strict:
-        raise NotImplementedError(
-            "image decode requires PIL/libjpeg — not available in this "
-            "container; deterministic fake used in tests instead"
-        )
-    n = height * width * channels
-    reps = -(-n // len(payload))
-    flat = np.frombuffer(payload * reps, dtype=np.uint8)[:n]
-    return flat.reshape(height, width, channels)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nch = pdf["n_chars"].to_numpy(np.int64)
+            w = nch % 64 + 16
+            h = nch % 48 + 16
+            payloads = [
+                encode_ppm(
+                    _px_series(int(s % 256), int(wi * hi * 3)).reshape(
+                        int(hi), int(wi), 3
+                    )
+                )
+                for s, wi, hi in zip(nch, w, h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "media_type": media_type,
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "n_channels": np.full(len(pdf), 3, np.int32),
+                    "duration_ms": (nch * 10).astype(np.int32),
+                }
+            )
+
+    flat = docs.select("doc_id", "n_chars").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, payload binary, media_type string, width int, "
+            "height int, n_channels int, duration_ms int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        "media_type",
+        F.struct("width", "height", "n_channels", "duration_ms").alias("meta"),
+    )
+
+
+def synth_video(
+    docs: DataFrame, frame_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """documents → concatenated-PPM frame streams (image2pipe-style video).
+
+    Frame k of doc d is the base image brightened by k (pixels +k mod 256)
+    — per-frame distinct, SQL-replayable. n_frames = min(max_frames,
+    max(1, n_chars % 6 + 1)); duration = n_frames · frame_ms.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nch = pdf["n_chars"].to_numpy(np.int64)
+            w = nch % 64 + 16
+            h = nch % 48 + 16
+            nf = np.minimum(max_frames, nch % 6 + 1)
+            payloads = []
+            for s, wi, hi, k in zip(nch, w, h, nf):
+                base = _px_series(int(s % 256), int(wi * hi * 3))
+                payloads.append(
+                    b"".join(
+                        encode_ppm(
+                            ((base.astype(np.int64) + j) % 256)
+                            .astype(np.uint8)
+                            .reshape(int(hi), int(wi), 3)
+                        )
+                        for j in range(int(k))
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "media_type": "video/x-ppm-stream",
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "n_channels": np.full(len(pdf), 3, np.int32),
+                    "duration_ms": (nf * frame_ms).astype(np.int32),
+                }
+            )
+
+    flat = docs.select("doc_id", "n_chars").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, payload binary, media_type string, width int, "
+            "height int, n_channels int, duration_ms int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        "media_type",
+        F.struct("width", "height", "n_channels", "duration_ms").alias("meta"),
+    )
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """documents → one REAL RIFF/WAVE PCM16 payload per doc.
+
+    n_samples = n_chars%512+64; sample k = ((n_chars%256)·31 + 7k) mod
+    4096 − 2048 (int16-range sawtooth, SQL-replayable).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nch = pdf["n_chars"].to_numpy(np.int64)
+            n = nch % 512 + 64
+            payloads = []
+            for s, ni in zip(nch % 256, n):
+                k = np.arange(int(ni), dtype=np.int64)
+                v = (int(s) * AU_MULT + AU_STRIDE * k) % AU_MOD - AU_MID
+                payloads.append(encode_wav(v))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                    "width": np.zeros(len(pdf), np.int32),
+                    "height": np.zeros(len(pdf), np.int32),
+                    "n_channels": np.ones(len(pdf), np.int32),
+                    "duration_ms": (n * 1000 // WAV_RATE).astype(np.int32),
+                }
+            )
+
+    flat = docs.select("doc_id", "n_chars").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, payload binary, media_type string, width int, "
+            "height int, n_channels int, duration_ms int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        "media_type",
+        F.struct("width", "height", "n_channels", "duration_ms").alias("meta"),
+    )
 
 
 # fingerprint = Σ hist[j]·31^j mod 2^31−1 — integer-vectorizable across the
@@ -73,58 +316,43 @@ _FP_MOD = 2147483647
 _FP_POWS = np.array([pow(31, j, _FP_MOD) for j in range(16)], dtype=np.int64)
 
 
-def decode_features(
-    media: DataFrame, batch_docs: int = 1024, strict: bool | None = None
-) -> DataFrame:
-    """decode → feature-extract as a mapInPandas operator.
+def decode_features(media: DataFrame, batch_docs: int = 1024) -> DataFrame:
+    """PPM decode → feature-extract as a mapInPandas operator.
 
     Emits per-doc features: mean per channel, overall std, and a 16-bin
     intensity-histogram fingerprint. Decode is inherently per-item (the
-    codec boundary — stubbed here); EVERYTHING downstream is batch numpy:
-    segments concatenated once, channel sums via np.add.reduceat over the
-    (pixels, channels) view, histograms via one bincount over
-    doc_index·16 + (byte >> 4), fingerprints as an integer polynomial —
-    no per-row Python beyond the decode call.
+    codec boundary — a real P6 header parse + frombuffer); EVERYTHING
+    downstream is batch numpy: segments concatenated once, channel sums
+    via np.add.reduceat over the (pixels, channels) view, histograms via
+    one bincount over doc_index·16 + (byte >> 4), fingerprints as an
+    integer polynomial — no per-row Python beyond the decode call.
     """
     schema = (
         "doc_id long, mean_c0 double, mean_c1 double, mean_c2 double, "
         "std_all double, hist_fp long"
     )
-    flat = media.select(
-        "doc_id",
-        "payload",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_channels").alias("n_channels"),
-    )
+    flat = media.select("doc_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             B = len(pdf)
             if B == 0:
                 continue
-            w = pdf["width"].to_numpy(np.int64)
-            h = pdf["height"].to_numpy(np.int64)
-            cc = pdf["n_channels"].to_numpy(np.int64)
-            sizes = w * h * cc
-            # per-item decode ONLY (codec boundary)
-            seg = np.concatenate(
-                [
-                    _decode_stub(bytes(p), int(wi), int(hi), int(ci), strict).reshape(-1)
-                    for p, wi, hi, ci in zip(pdf["payload"], w, h, cc)
-                ]
-            )
+            imgs = [decode_ppm(bytes(p))[0] for p in pdf["payload"]]
+            sizes = np.array([im.size for im in imgs], dtype=np.int64)
+            cc = np.array([im.shape[2] for im in imgs], dtype=np.int64)
+            seg = np.concatenate([im.reshape(-1) for im in imgs])
             offs = np.zeros(B + 1, dtype=np.int64)
             np.cumsum(sizes, out=offs[1:])
 
             means = np.full((B, 3), np.nan)
             stds = np.empty(B)
-            # vectorize per distinct channel count (one group in practice)
             seg64 = seg.astype(np.int64)
             segsq = seg64 * seg64
+            # P6 is always 3-channel; the per-channel-count loop survives
+            # for future formats with c != 3
             for c in np.unique(cc):
                 rows = np.flatnonzero(cc == c)
-                # gather this group's segments contiguously
                 take = np.concatenate(
                     [np.arange(offs[i], offs[i + 1]) for i in rows]
                 ) if len(rows) < B else None
@@ -169,15 +397,14 @@ def decode_features(
 def frame_sample(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
-    """Frame sampling for video payloads: one output row per sampled frame
-    at a fixed timestamp stride (the standard pre-training video treatment:
-    sample k frames, then run the image path on each).
+    """Frame sampling for PPM-stream video payloads: one output row per
+    sampled frame at a fixed timestamp stride (the standard pre-training
+    video treatment: sample k frames, then run the image path on each).
 
-    The container has no video codec, so per-frame decode is the same
-    deterministic stub seeded by (payload, frame index) — the contract a
-    real decoder honors: frame count from duration, per-frame determinism,
-    (h, w, c) shape from metadata. Everything after the decode boundary is
-    batch numpy: one concatenate, one reduceat for per-frame means.
+    The decoder WALKS the real concatenated-P6 byte stream (header parse
+    per frame → next offset), re-encodes each sampled frame as a
+    standalone P6 payload, and computes per-frame mean intensity with one
+    batch concatenate + reduceat beyond the codec boundary.
 
     Scale: explode factor is bounded (≤ max_frames per doc) and declared
     up front, so the output row count is predictable; the operator is a
@@ -188,12 +415,7 @@ def frame_sample(
         "width int, height int, mean_intensity double"
     )
     flat = media.select(
-        "doc_id",
-        "payload",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_channels").alias("n_channels"),
-        F.col("meta.duration_ms").alias("duration_ms"),
+        "doc_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,26 +424,23 @@ def frame_sample(
                 continue
             out_doc, out_idx, out_ts, out_pay, out_w, out_h = [], [], [], [], [], []
             segs, sizes = [], []
-            for doc_id, payload, w, h, c, dur in zip(
-                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"],
-                pdf["n_channels"], pdf["duration_ms"],
+            stride = max(1, every_ms)
+            for doc_id, payload, dur in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                n_frames = min(max_frames, max(1, int(dur) // every_ms))
-                for k in range(n_frames):
-                    # per-frame decode ONLY (codec boundary): the stub
-                    # varies deterministically by frame via a rotated
-                    # payload — a real decoder seeks to ts_ms instead
-                    rot = k % max(1, len(payload))
-                    fbytes = bytes(payload[rot:]) + bytes(payload[:rot])
-                    img = _decode_stub(fbytes, int(w), int(h), int(c))
+                buf = bytes(payload)
+                pos, k = 0, 0
+                while pos < len(buf) and k < max_frames:
+                    img, nxt = decode_ppm(buf, pos)  # codec boundary
                     out_doc.append(doc_id)
                     out_idx.append(k)
-                    out_ts.append(k * every_ms)
-                    out_pay.append(img.tobytes())
-                    out_w.append(int(w))
-                    out_h.append(int(h))
+                    out_ts.append(k * stride)
+                    out_pay.append(encode_ppm(img))
+                    out_h.append(img.shape[0])
+                    out_w.append(img.shape[1])
                     segs.append(img.reshape(-1))
                     sizes.append(img.size)
+                    pos, k = nxt, k + 1
             if not segs:
                 continue
             # batch numpy beyond the decode boundary: one concat + reduceat
@@ -246,31 +465,23 @@ def frame_sample(
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Audio feature extraction over opaque PCM-ish payloads: RMS energy,
-    zero-crossing count, and peak amplitude per doc. The codec boundary is
-    the same stub (payload bytes reinterpreted as a centered int16-like
-    waveform); every feature is computed across the batch with one
-    concatenate + reduceat — no per-row Python beyond the decode."""
+    """Audio feature extraction over REAL RIFF/WAVE PCM16 payloads: RMS
+    energy, zero-crossing count, and peak amplitude per doc. The codec
+    boundary is the real WAV chunk walk (:func:`decode_wav`); every
+    feature is computed across the batch with one concatenate + reduceat
+    — no per-row Python beyond the decode."""
     schema = "doc_id long, n_samples int, rms double, zero_crossings int, peak int"
-    flat = media.select("doc_id", "payload", F.col("meta.duration_ms").alias("dur"))
+    flat = media.select("doc_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             B = len(pdf)
             if B == 0:
                 continue
-            waves = []
-            sizes = np.empty(B, dtype=np.int64)
-            for i, (payload, dur) in enumerate(zip(pdf["payload"], pdf["dur"])):
-                # decode stub: tile payload to 8 samples/ms, center at 0
-                n = max(8, (int(dur) // 1000) * 8)
-                # empty payload → silence (all-zero wave), mirroring
-                # frame_sample's max(1, len) guard for the same case
-                src = bytes(payload) if len(payload) else b"\x80"
-                reps = -(-n // len(src))
-                w = np.frombuffer(src * reps, dtype=np.uint8)[:n]
-                waves.append(w.astype(np.int64) - 128)
-                sizes[i] = n
+            waves = [
+                decode_wav(bytes(p)).astype(np.int64) for p in pdf["payload"]
+            ]
+            sizes = np.array([len(w) for w in waves], dtype=np.int64)
             seg = np.concatenate(waves)
             offs = np.zeros(B + 1, dtype=np.int64)
             np.cumsum(sizes, out=offs[1:])
@@ -301,28 +512,31 @@ def audio_features(media: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema=schema)
 
 
-def resize_stub(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Resize = decode → subsample → re-encode; with the codec stubbed this
-    keeps the byte plumbing honest: output payload is a deterministic
-    subsample of the fake-decoded array."""
+def resize_ppm(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Resize = decode → nearest-neighbour subsample → RE-ENCODE as real
+    P6 bytes; output payloads are themselves valid PPM images (feedable
+    back into :func:`decode_features`)."""
     schema = "doc_id long, payload binary, media_type string, width int, height int"
+    flat = media.select("doc_id", "payload", "media_type")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         th, tw = target
         for pdf in batches:
             rows = []
-            for doc_id, payload, mtype, meta in zip(
-                pdf["doc_id"], pdf["payload"], pdf["media_type"], pdf["meta"]
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
             ):
-                img = _decode_stub(
-                    bytes(payload), meta["width"], meta["height"], meta["n_channels"]
-                )
+                img, _ = decode_ppm(bytes(payload))
                 ys = np.linspace(0, img.shape[0] - 1, th).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, tw).astype(int)
                 small = img[np.ix_(ys, xs)]
-                rows.append((doc_id, small.tobytes(), mtype, tw, th))
+                rows.append((doc_id, encode_ppm(small), mtype, tw, th))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type", "width", "height"]
             )
 
-    return media.mapInPandas(run, schema=schema)
+    return flat.mapInPandas(run, schema=schema)
+
+
+# kept as an alias for round-4 callers; the stub codec is gone
+resize_stub = resize_ppm

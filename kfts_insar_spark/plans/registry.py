@@ -2,9 +2,21 @@
 
 from __future__ import annotations
 
-from . import advanced_queries, engine_queries, relational_queries, timeseries_queries
+from . import (
+    advanced_queries,
+    engine_queries,
+    multimodal_queries,
+    relational_queries,
+    timeseries_queries,
+)
 
-_MODULES = [engine_queries, relational_queries, advanced_queries, timeseries_queries]
+_MODULES = [
+    engine_queries,
+    relational_queries,
+    advanced_queries,
+    timeseries_queries,
+    multimodal_queries,
+]
 
 try:  # pass-2 modules may land later / be optional
     from . import text_queries

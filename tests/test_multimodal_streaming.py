@@ -1,32 +1,73 @@
-"""Multimodal binary plumbing + structured-streaming rollup tests."""
+"""Multimodal binary codecs (REAL PPM/WAV, pure numpy) + structured-
+streaming rollup tests."""
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from kfts_insar_spark.operators.multimodal import (
+    audio_features,
     decode_features,
-    resize_stub,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    frame_sample,
+    resize_ppm,
+    synth_audio,
     synth_media,
+    synth_video,
 )
 from kfts_insar_spark.operators.rollup import rollup_raw
 from kfts_insar_spark.synth import sequences
 
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
 
 @pytest.fixture(scope="module")
 def media(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    return synth_media(docs).cache()
+    return synth_media(spark.read.parquet(DOCS)).cache()
 
 
-def test_media_schema_and_determinism(spark, media):
+def test_ppm_roundtrip_and_errors():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    buf = encode_ppm(img)
+    assert buf.startswith(b"P6\n9 5\n255\n")
+    back, nxt = decode_ppm(buf)
+    assert nxt == len(buf)
+    np.testing.assert_array_equal(back, img)
+    # stream walk: two concatenated images decode at running offsets
+    img2 = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    stream = buf + encode_ppm(img2)
+    a, p = decode_ppm(stream)
+    b, q = decode_ppm(stream, p)
+    assert q == len(stream)
+    np.testing.assert_array_equal(b, img2)
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(buf[:-4])
+
+
+def test_wav_roundtrip_and_errors():
+    v = (np.arange(100) * 321 % 4096 - 2048).astype(np.int16)
+    buf = encode_wav(v)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    np.testing.assert_array_equal(decode_wav(buf), v)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + buf[4:])
+    with pytest.raises(ValueError, match="no data chunk"):
+        decode_wav(buf[:40])
+
+
+def test_media_payloads_are_real_ppm(spark, media):
     row = media.orderBy("doc_id").first()
-    assert len(bytes(row.payload)) == 16  # md5 digest bytes
-    assert row.meta.n_channels == 3 and row.meta.width >= 16
+    img, nxt = decode_ppm(bytes(row.payload))
+    assert nxt == len(bytes(row.payload))  # payload is exactly one P6 image
+    assert img.shape == (row.meta.height, row.meta.width, 3)
     # deterministic: same doc → same payload on recompute
-    again = synth_media(
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    ).orderBy("doc_id").first()
+    again = synth_media(spark.read.parquet(DOCS)).orderBy("doc_id").first()
     assert bytes(row.payload) == bytes(again.payload)
 
 
@@ -42,15 +83,12 @@ def test_decode_features_batch_shape(spark, media):
     assert (feats.set_index("doc_id")["hist_fp"] == again).all()
 
 
-def test_decode_strict_mode_raises(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        decode_features(media.limit(2), strict=True).collect()
-
-
-def test_resize_stub_shapes(spark, media):
-    out = resize_stub(media.limit(5), target=(8, 8)).toPandas()
+def test_resize_emits_valid_ppm(spark, media):
+    out = resize_ppm(media.limit(5), target=(8, 8)).toPandas()
     assert (out["width"] == 8).all() and (out["height"] == 8).all()
-    assert all(len(bytes(p)) == 8 * 8 * 3 for p in out["payload"])
+    for p in out["payload"]:
+        small, _ = decode_ppm(bytes(p))
+        assert small.shape == (8, 8, 3)
 
 
 def test_streaming_rollup_equals_batch(spark, tmp_path):
@@ -97,12 +135,8 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
 def test_decode_features_matches_rowwise_reference(spark, media):
     """The batch-vectorized feature path (reduceat sums, bincount
     histograms, polynomial fingerprint) must equal a straightforward
-    per-image numpy reference."""
-    from kfts_insar_spark.operators.multimodal import (
-        _FP_MOD,
-        _FP_POWS,
-        _decode_stub,
-    )
+    per-image numpy reference, decoding the REAL PPM bytes."""
+    from kfts_insar_spark.operators.multimodal import _FP_MOD, _FP_POWS
 
     sample = media.orderBy("doc_id").limit(50).collect()
     got = (
@@ -112,9 +146,7 @@ def test_decode_features_matches_rowwise_reference(spark, media):
         .sort_index()
     )
     for r in sample:
-        img = _decode_stub(
-            bytes(r.payload), r.meta.width, r.meta.height, r.meta.n_channels
-        )
+        img, _ = decode_ppm(bytes(r.payload))
         means = img.mean(axis=(0, 1))
         hist, _ = np.histogram(img, bins=16, range=(0, 256))
         fp = int((hist.astype(np.int64) * _FP_POWS).sum() % _FP_MOD)
@@ -126,52 +158,49 @@ def test_decode_features_matches_rowwise_reference(spark, media):
         assert int(g.hist_fp) == fp
 
 
-def test_frame_sample_stride_and_determinism(spark, media):
-    from kfts_insar_spark.operators.multimodal import frame_sample
-
-    frames = frame_sample(media, every_ms=1000, max_frames=4).toPandas()
-    meta = media.select(
-        "doc_id", F.col("meta.duration_ms").alias("dur"),
-        F.col("meta.width").alias("w"), F.col("meta.height").alias("h"),
-        F.col("meta.n_channels").alias("c"),
+def test_frame_sample_walks_real_ppm_stream(spark):
+    video = synth_video(spark.read.parquet(DOCS), frame_ms=1000, max_frames=4)
+    frames = frame_sample(video, every_ms=1000, max_frames=4).toPandas()
+    meta = video.select(
+        "doc_id", "payload", F.col("meta.duration_ms").alias("dur")
     ).toPandas().set_index("doc_id")
-    # frame count = min(max_frames, duration//stride, >=1) per doc
+    # frame count = min(max_frames, frames present in the stream)
     per_doc = frames.groupby("doc_id").size()
     for doc_id, n in per_doc.items():
-        assert n == min(4, max(1, int(meta.loc[doc_id, "dur"]) // 1000))
-    # timestamps follow the stride; payload bytes match the declared shape
-    g0 = frames[frames["doc_id"] == frames["doc_id"].iloc[0]].sort_values("frame_idx")
-    assert g0["ts_ms"].tolist() == [i * 1000 for i in range(len(g0))]
-    r = g0.iloc[0]
-    assert len(bytes(r["payload"])) == int(
-        meta.loc[r["doc_id"], "w"] * meta.loc[r["doc_id"], "h"] * meta.loc[r["doc_id"], "c"]
+        assert n == min(4, int(meta.loc[doc_id, "dur"]) // 1000)
+    g0 = frames[frames["doc_id"] == frames["doc_id"].iloc[0]].sort_values(
+        "frame_idx"
     )
+    assert g0["ts_ms"].tolist() == [i * 1000 for i in range(len(g0))]
+    # each emitted frame payload is a standalone valid P6 equal to the
+    # stream's k-th frame
+    r = g0.iloc[0]
+    stream = bytes(meta.loc[r["doc_id"], "payload"])
+    want0, p = decode_ppm(stream)
+    got0, _ = decode_ppm(bytes(r["payload"]))
+    np.testing.assert_array_equal(got0, want0)
+    if len(g0) > 1:
+        want1, _ = decode_ppm(stream, p)
+        got1, _ = decode_ppm(bytes(g0.iloc[1]["payload"]))
+        np.testing.assert_array_equal(got1, want1)
+        # frames differ (brightness ramp)
+        assert not np.array_equal(got0, got1)
     # deterministic across recomputation
-    again = frame_sample(media, every_ms=1000, max_frames=4).toPandas()
+    again = frame_sample(video, every_ms=1000, max_frames=4).toPandas()
     key = ["doc_id", "frame_idx"]
     a = frames.sort_values(key).reset_index(drop=True)
     b = again.sort_values(key).reset_index(drop=True)
     assert (a["mean_intensity"] == b["mean_intensity"]).all()
-    # distinct frames of one doc differ (rotation stub varies by index)
-    if len(g0) > 1:
-        assert bytes(g0.iloc[0]["payload"]) != bytes(g0.iloc[1]["payload"])
 
 
-def test_audio_features_against_numpy(spark, media):
-    from kfts_insar_spark.operators.multimodal import audio_features
-
-    out = audio_features(media).toPandas().set_index("doc_id")
-    src = media.select(
-        "doc_id", "payload", F.col("meta.duration_ms").alias("dur")
-    ).toPandas()
+def test_audio_features_against_numpy(spark):
+    audio = synth_audio(spark.read.parquet(DOCS))
+    out = audio_features(audio).toPandas().set_index("doc_id")
+    src = audio.select("doc_id", "payload").toPandas()
     for _, r in src.head(20).iterrows():
-        n = max(8, (int(r["dur"]) // 1000) * 8)
-        reps = -(-n // len(r["payload"]))
-        w = np.frombuffer(bytes(r["payload"]) * reps, dtype=np.uint8)[:n].astype(
-            np.int64
-        ) - 128
+        w = decode_wav(bytes(r["payload"])).astype(np.int64)
         got = out.loc[r["doc_id"]]
-        assert got["n_samples"] == n
+        assert got["n_samples"] == len(w)
         assert abs(got["rms"] - float(np.sqrt((w * w).mean()))) < 1e-9
         assert got["zero_crossings"] == int(
             np.abs(np.diff((w >= 0).astype(np.int16))).sum()
