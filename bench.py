@@ -412,10 +412,36 @@ def main() -> None:
         assert res["status"] == "noop", res
         return 0
 
+    stage_breakdown: dict = {}
     try:
         timed("q_pipeline_incr", pipeline_incr, mk=mk_incr_dir)
         noop_dirs = iter(incr_dirs)
         timed("q_pipeline_noop", pipeline_noop, mk=lambda: next(noop_dirs))
+        # --- one extra UNTIMED instrumented pass (fresh 90%-committed dir,
+        # sequential stages + forced kernel materialization) decomposing the
+        # resumed run into per-stage wall seconds — where incr's cost goes:
+        # fixed floor (heal + property reads + manifest swaps) vs
+        # data-proportional work (scans, kernel, writes). The probe changes
+        # execution overlap, so its _total exceeds the headline
+        # q_pipeline_incr; the stage split, not the total, is the payload.
+        if _want("q_pipeline_incr"):
+            os.environ["SPARK_GRAFT_STAGE_TIMINGS"] = "1"
+            os.environ["SPARK_GRAFT_SEQUENTIAL"] = "1"
+            try:
+                td = mk_incr_dir()
+                for probe in ("q_pipeline_incr", "q_pipeline_noop"):
+                    pipe = TierPipeline(
+                        td, salt_buckets=CPUS, run_gapfill=True, kf_shards=CPUS
+                    )
+                    t0 = time.perf_counter()
+                    pipe.run(spark, seq_all)
+                    stage_breakdown[probe] = dict(
+                        sorted(pipe.stage_sec.items()),
+                        _total=round(time.perf_counter() - t0, 3),
+                    )
+            finally:
+                os.environ.pop("SPARK_GRAFT_STAGE_TIMINGS", None)
+                os.environ.pop("SPARK_GRAFT_SEQUENTIAL", None)
     finally:
         for td in incr_dirs:
             shutil.rmtree(td, ignore_errors=True)
@@ -669,6 +695,8 @@ def main() -> None:
     )
     if ab_block is not None:
         result["ab_vs_prev"] = ab_block
+    if stage_breakdown:
+        result["stage_breakdown"] = stage_breakdown
     spark.stop()
     print(json.dumps(result))
 

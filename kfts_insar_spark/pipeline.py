@@ -25,6 +25,8 @@ raw partitions via metadata-only deletes (SnapshotTable.drop_partitions).
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,17 +88,38 @@ class TierPipeline:
         self.kf_cfg = kf_cfg
         self.run_gapfill = run_gapfill
         self.kf_shards = kf_shards
+        # wall-clock per named section of the last run() — concurrent
+        # sections (derive_tiers / gapfill overlap) each report their own
+        # wall span, so the sum can exceed the run's elapsed time. Driver
+        # sections that only BUILD lazy plans attribute their jobs to
+        # whichever later section triggers the action; set
+        # SPARK_GRAFT_STAGE_TIMINGS=1 to force-materialize the KF kernel
+        # inside its own section for clean attribution (changes the
+        # execution overlap — use on probe runs, not headline timings).
+        self.stage_sec: dict[str, float] = {}
+
+    @contextmanager
+    def _stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stage_sec[name] = round(
+                self.stage_sec.get(name, 0.0) + time.perf_counter() - t0, 4
+            )
 
     # ------------------------------------------------------------------ run
     def run(self, spark: SparkSession, seq: DataFrame) -> dict:
         """Process all ingest batches newer than the committed watermark."""
+        self.stage_sec = {}
         wm = int(self.raw.property("watermark_es", -1))
         # Heal first: a crash between the raw commit and the downstream
         # commits leaves 1h/1d/compressed/gapfilled lagging raw's watermark;
         # without this the next run would treat the increment as already
         # processed (raw watermark advanced) and those tiers would stay
         # permanently short of it.
-        self._heal(spark, seq, wm)
+        with self._stage("heal"):
+            self._heal(spark, seq, wm)
         # ---- raw tier: append-only (each 300 s bucket is born complete).
         # ONE scan of the base table: the increment is aggregated and
         # written in the same job, and the new watermark derives from the
@@ -114,54 +137,69 @@ class TierPipeline:
         # the partials themselves. The partials are persisted, so the two
         # commits read the SAME materialized increment — no second scan and
         # no window for a live source to diverge the tiers.
-        partial = None
-        if self.run_gapfill:
-            # localCheckpoint (not persist): the series commit re-reads this
-            # frame AFTER the raw commit fixed the watermark from its footer
-            # stats. A persisted frame can silently recompute from the live
-            # source on cache eviction, picking up rows past the committed
-            # watermark → double-counted KF input on the next run. A
-            # checkpoint truncates lineage: partitions either serve the
-            # materialization the raw commit saw, or the job FAILS (lost
-            # partitions are not recomputable) and the next run heals
-            # through the bounded fallback scan in _ingest_series.
-            partial = rollup_series_partial(
-                fresh, self.kf_shards, with_max_ingest=True
-            ).localCheckpoint(eager=False)
-            raw_inc = merge_shard_partials(partial, with_max_ingest=True)
-        else:
-            raw_inc = rollup_raw(
-                fresh, salt_buckets=self.salt_buckets, with_max_ingest=True
-            )
-        raw_inc = raw_inc.withColumn("pday", _pday())
-        sid = self.raw.append(
-            raw_inc,
-            partition_by=["pday"],
-            coalesce=4,  # optimize-write: tiers are small aggregates
-            stats_cols=["max_ies"],
-            properties_fn=lambda entries: {
-                "watermark_es": max(
-                    int(e["stats"]["max_ies"][1]) for e in entries
+        with self._stage("ingest_raw"):
+            partial = None
+            if self.run_gapfill:
+                # localCheckpoint (not persist): the series commit re-reads
+                # this frame AFTER the raw commit fixed the watermark from
+                # its footer stats. A persisted frame can silently recompute
+                # from the live source on cache eviction, picking up rows
+                # past the committed watermark → double-counted KF input on
+                # the next run. A checkpoint truncates lineage: partitions
+                # either serve the materialization the raw commit saw, or
+                # the job FAILS (lost partitions are not recomputable) and
+                # the next run heals through the bounded fallback scan in
+                # _ingest_series.
+                partial = rollup_series_partial(
+                    fresh, self.kf_shards, with_max_ingest=True
+                ).localCheckpoint(eager=False)
+                raw_inc = merge_shard_partials(partial, with_max_ingest=True)
+            else:
+                raw_inc = rollup_raw(
+                    fresh, salt_buckets=self.salt_buckets, with_max_ingest=True
                 )
-            },
-            skip_if_empty=True,
-        )
-        if sid is None:
-            if partial is not None:
-                partial.unpersist()
-            return {"status": "noop", "watermark_es": wm}
-        new_wm = int(self.raw.property("watermark_es", wm))
-        n_raw = self.raw.last_commit_rows()
-        days = self.raw.last_commit_partitions("pday")
-        self.log.record(
-            "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
-        )
+            # checkpoint the merged increment: the raw write materializes it
+            # and the 1h/compressed derivation then reads THESE blocks
+            # instead of re-scanning the parquet files the commit just wrote
+            # (one fewer tier scan per run; the prior-snapshot read below
+            # covers boundary days). Same lost-partition contract as
+            # `partial`: serve the materialization the commit saw, or fail.
+            prior_sid = self.raw.current_snapshot_id()
+            raw_inc = raw_inc.withColumn("pday", _pday()).localCheckpoint(
+                eager=False
+            )
+            sid = self.raw.append(
+                raw_inc,
+                partition_by=["pday"],
+                coalesce=4,  # optimize-write: tiers are small aggregates
+                stats_cols=["max_ies"],
+                properties_fn=lambda entries: {
+                    "watermark_es": max(
+                        int(e["stats"]["max_ies"][1]) for e in entries
+                    )
+                },
+                skip_if_empty=True,
+            )
+            if sid is None:
+                if partial is not None:
+                    partial.unpersist()
+                raw_inc.unpersist()
+                return {"status": "noop", "watermark_es": wm}
+            new_wm = int(self.raw.property("watermark_es", wm))
+            n_raw = self.raw.last_commit_rows()
+            days = self.raw.last_commit_partitions("pday")
+            self.log.record(
+                "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
+            )
 
         # ---- series tier for the KF stage (own watermark window, so a
         # crash between the raw and series commits heals from `seq`);
         # only needed when the KF stage runs
         if self.run_gapfill:
-            self._ingest_series(spark, seq, new_wm, partial=partial, wm_partial=wm)
+            with self._stage("ingest_series"):
+                self._ingest_series(
+                    spark, seq, new_wm, partial=partial, wm_partial=wm
+                )
             partial.unpersist()
 
         result = {
@@ -180,17 +218,33 @@ class TierPipeline:
         if self.run_gapfill and not os.environ.get("SPARK_GRAFT_SEQUENTIAL"):
             from concurrent.futures import ThreadPoolExecutor
 
+            def _timed_tiers():
+                with self._stage("derive_tiers"):
+                    return self._derive_tiers(
+                        spark, days, new_wm, inc=raw_inc, prior_sid=prior_sid
+                    )
+
+            def _timed_gap():
+                with self._stage("gapfill"):
+                    return self._run_gapfill(spark, new_wm)
+
             with ThreadPoolExecutor(2) as ex:
-                f_tiers = ex.submit(self._derive_tiers, spark, days, new_wm)
-                f_gap = ex.submit(self._run_gapfill, spark, new_wm)
+                f_tiers = ex.submit(_timed_tiers)
+                f_gap = ex.submit(_timed_gap)
                 drows, dsids = f_tiers.result()
                 gres = f_gap.result()
+            raw_inc.unpersist()
             result["rows"]["gapfilled"] = gres["n_rows"]
             result["snapshots"]["gapfilled"] = gres["snapshot_id"]
         else:
-            drows, dsids = self._derive_tiers(spark, days, new_wm)
+            with self._stage("derive_tiers"):
+                drows, dsids = self._derive_tiers(
+                    spark, days, new_wm, inc=raw_inc, prior_sid=prior_sid
+                )
+            raw_inc.unpersist()
             if self.run_gapfill:
-                gres = self._run_gapfill(spark, new_wm)
+                with self._stage("gapfill"):
+                    gres = self._run_gapfill(spark, new_wm)
                 result["rows"]["gapfilled"] = gres["n_rows"]
                 result["snapshots"]["gapfilled"] = gres["snapshot_id"]
         result["rows"].update(drows)
@@ -244,19 +298,47 @@ class TierPipeline:
         )
 
     def _derive_tiers(
-        self, spark: SparkSession, days: list, wm: int
+        self,
+        spark: SparkSession,
+        days: list,
+        wm: int,
+        inc: DataFrame | None = None,
+        prior_sid: int | None = None,
     ) -> tuple[dict, dict]:
         """Recompute the 1h/1d/compressed tiers for the affected ``days``
-        from the committed raw tier and overwrite those partitions.
+        and overwrite those partitions.
+
+        ``inc`` (the checkpointed raw increment the commit just wrote, with
+        ``prior_sid`` = the raw snapshot BEFORE that commit) serves the
+        affected days from memory: increment rows come from the checkpoint
+        blocks and only BOUNDARY days — affected days that already had rows
+        before this commit — read parquet, through the prior snapshot's
+        manifest pruned to those days (append-mostly ingest prunes this to
+        zero files, metadata-only). Without ``inc`` (heal / restatement
+        paths, gapfill-off… any caller that cannot vouch the increment
+        frame equals the committed files) the committed raw tier is read.
         Affected-day reads use manifest-level FILE pruning (``where=``) —
         no full-tier scan, no per-day plan nodes."""
         from concurrent.futures import ThreadPoolExecutor
 
         dayset = set(days)
         in_days = lambda p: p.get("pday") in dayset  # noqa: E731
-        # one pruned scan of the affected raw days, shared by the 1h and
+        # one frame of the affected raw days, shared by the 1h and
         # compressed stages (and transitively the 1d stage via h_inc)
-        raw_days = self.raw.read(spark, where=in_days).select(*TIER_COLS).persist()
+        if inc is not None:
+            raw_days = inc.filter(F.col("pday").isin(days)).select(*TIER_COLS)
+            prior = (
+                self.raw.read(spark, snapshot_id=prior_sid, where=in_days)
+                if prior_sid is not None
+                else None
+            )
+            if prior is not None:
+                raw_days = raw_days.unionByName(prior.select(*TIER_COLS))
+            raw_days = raw_days.persist()
+        else:
+            raw_days = (
+                self.raw.read(spark, where=in_days).select(*TIER_COLS).persist()
+            )
 
         def run_1h_1d():
             # ---- 1h: recompute affected days from committed raw, overwrite
@@ -299,9 +381,17 @@ class TierPipeline:
             # the committed raw tier — run them as concurrent Spark jobs
             # (different tables, no shared commit state); the per-stage plan
             # compile + commit fixed costs overlap instead of serializing
+            def _timed_hd():
+                with self._stage("tiers_1h_1d"):
+                    return run_1h_1d()
+
+            def _timed_c():
+                with self._stage("tiers_compressed"):
+                    return run_compressed()
+
             with ThreadPoolExecutor(2) as ex:
-                f_hd = ex.submit(run_1h_1d)
-                f_c = ex.submit(run_compressed)
+                f_hd = ex.submit(_timed_hd)
+                f_c = ex.submit(_timed_c)
                 sid_h, n_h, files_h, sid_d, n_d, files_d = f_hd.result()
                 sid_c, n_c, files_c = f_c.result()
         finally:
@@ -362,6 +452,7 @@ class TierPipeline:
         """
         import numpy as np
 
+        _t_meta = time.perf_counter()
         series_now = self.series.read(spark)
         if series_now is None:
             return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
@@ -378,6 +469,7 @@ class TierPipeline:
         prev = self.kf_state.read(spark)
         k_done_prev = int(self.kf_state.property("k_done", 0))
         if prev is not None and m <= k_done_prev:
+            self.stage_sec["kf_meta"] = round(time.perf_counter() - _t_meta, 4)
             return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
         t_grid = np.arange(m) * (RAW_SECONDS / DAY_SECONDS)
         cover_min_step = (
@@ -435,7 +527,16 @@ class TierPipeline:
             # sub-series cold-starts
             wide = wide.join(prev, "doc_id", "full")
 
+        self.stage_sec["kf_meta"] = round(time.perf_counter() - _t_meta, 4)
         combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
+        if os.environ.get("SPARK_GRAFT_STAGE_TIMINGS"):
+            # probe mode: force the kernel job into its own section (the
+            # incremental scan + doc-wide groupBy + mapInPandas kernel +
+            # persist). Default runs leave `combined` lazy so the state
+            # write overlaps the output explode/stitch — don't enable this
+            # on headline timings.
+            with self._stage("kf_kernel"):
+                combined.count()
         from concurrent.futures import ThreadPoolExecutor
 
         state_pool = ThreadPoolExecutor(1)
@@ -461,6 +562,7 @@ class TierPipeline:
                 None,  # partition_by
                 2,  # coalesce: tiny table — one file beats 32 footer reads
             )
+            _t_out = time.perf_counter()
             out = explode_kf_output(combined, t_grid)
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
@@ -555,18 +657,22 @@ class TierPipeline:
             n_rows = self.gap.last_commit_rows()
             if rows_cached is not None:
                 rows_cached.unpersist()
+            self.stage_sec["kf_output"] = round(
+                time.perf_counter() - _t_out, 4
+            )
             # the state's idx0 is uniform across docs (grid-determined): L
             # kept params + last t_sep phases → idx0 = m − t_sep.
             # Gap commit has landed — NOW publish the staged state.
-            self.kf_state.commit_staged(
-                f_state.result(),
-                properties={
-                    "grid_lo": lo,
-                    "k_done": m,
-                    "idx0": max(0, m - self.kf_cfg.t_sep),
-                    "watermark_es": wm,
-                },
-            )
+            with self._stage("kf_state_commit"):
+                self.kf_state.commit_staged(
+                    f_state.result(),
+                    properties={
+                        "grid_lo": lo,
+                        "k_done": m,
+                        "idx0": max(0, m - self.kf_cfg.t_sep),
+                        "watermark_es": wm,
+                    },
+                )
         finally:
             state_pool.shutdown(wait=True)
             combined.unpersist()

@@ -16,13 +16,19 @@ Cross-engine exactness rules (verified empirically in this sandbox):
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DOCS_PER_SF = 2_000_000  # n_docs = DOCS_PER_SF * sf  (sf0.01 → 20,000)
-ORACLE_SF = 0.01
+# The generator-backed oracles (seq_*/tok_*/kf_*) bake this into their SQL
+# at import: the driver's gate runs at sf0.01, but the sf1 value gate
+# (tools/check_queries.py with CHECK_SF_DIR) overrides it so the kernel
+# family is value-pinned at 100× driver scale too — set BEFORE importing
+# any plans module.
+ORACLE_SF = float(os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01"))
 
 
 def sf_of(sf_dir: str) -> float:

@@ -17,11 +17,16 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
-# SF override checks scale-stability of the TABLE-BACKED queries (both
-# engines read the same parquet). Synthetic-generator queries bake
-# ORACLE_N_DOCS for sf0.01 into their SQL at import — run those at the
-# default SF only.
+# SF override checks scale-stability of the queries: table-backed ones read
+# the same parquet in both engines; synthetic-generator queries (seq_*/tok_*/
+# kf_*) bake ORACLE_N_DOCS into their SQL at import, so derive the matching
+# oracle SF from CHECK_SF_DIR before any plans module is imported (r4
+# verdict item 5 — without this the kernel family was value-pinned only at
+# driver scale).
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+_m = __import__("re").search(r"sf([0-9.]+)", SF_DIR)
+if _m:
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", _m.group(1))
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
