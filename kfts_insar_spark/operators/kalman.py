@@ -1084,7 +1084,7 @@ def kalman_gapfill_wide(
 
 
 KF_WIDE_STATE = (
-    "doc_id string, phase array<double>, std array<double>, "
+    "doc_id string, emit0 int, phase array<double>, std array<double>, "
     "innov array<double>, gap array<boolean>, "
     "k_done int, idx0 int, m array<double>, P array<double>"
 )
@@ -1127,13 +1127,21 @@ def kalman_gapfill_combined(
     ) -> pd.DataFrame:
         res = kalman_direct_batch(values, t_grid, cfg, init=init, p0_diag=p0)
         B = len(docs)
+        # Emit only the window this run actually produced: a resumed doc
+        # re-emits [idx0_prev, M) — steps before idx0_prev were published
+        # by earlier runs and carry NaN here. Slicing keeps the per-run
+        # Arrow transfer and the downstream explode O(increment + overlap)
+        # instead of O(total grid history); `emit0` lets the exploder
+        # recover absolute step indices (cold start → 0, full grid).
+        e0 = int(init["idx0"]) if init is not None else 0
         return pd.DataFrame(
             {
                 "doc_id": docs,
-                "phase": list(res["phase"]),
-                "std": list(res["std"]),
-                "innov": list(res["innov"]),
-                "gap": list(res["gap"]),
+                "emit0": np.full(B, e0, dtype=np.int32),
+                "phase": list(res["phase"][:, e0:]),
+                "std": list(res["std"][:, e0:]),
+                "innov": list(res["innov"][:, e0:]),
+                "gap": list(res["gap"][:, e0:]),
                 "k_done": np.full(B, res["k_done"], dtype=np.int32),
                 "idx0": np.full(B, res["idx0"], dtype=np.int32),
                 "m": list(res["m"]),
@@ -1280,16 +1288,21 @@ def explode_kf_output(wide: DataFrame, t_grid: np.ndarray) -> DataFrame:
     grid_df = wide.sparkSession.createDataFrame(
         list(enumerate(t_vals)), "step int, t double"
     )
+    # emit0 = absolute step of each row's first array element (the combined
+    # kernel slices a resumed doc's output to its emit window); wide frames
+    # without it (full-grid emitters like kalman_gapfill_wide) start at 0
+    e0 = F.col("emit0") if "emit0" in wide.columns else F.lit(0)
     return (
         wide.select(
             "doc_id",
+            e0.alias("_e0"),
             F.posexplode(F.arrays_zip("phase", "std", "innov", "gap")).alias(
-                "step", "z"
+                "pos", "z"
             ),
         )
         .select(
             "doc_id",
-            F.col("step").cast("int").alias("step"),
+            (F.col("pos") + F.col("_e0")).cast("int").alias("step"),
             F.col("z.phase").alias("phase"),
             F.col("z.std").alias("std"),
             F.col("z.innov").alias("innov"),

@@ -567,9 +567,9 @@ class TierPipeline:
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
                 out
-                # archived steps (before the resume window) carry NaN phases
-                # in the wide arrays (NULL after the pandas→Arrow trip) —
-                # they were emitted by earlier runs
+                # the kernel slices each doc's emit to [emit0, M) so archived
+                # steps never reach the explode; this filter is a residual
+                # guard against NaN/NULL phases (pandas→Arrow NULL trip)
                 .filter(F.col("phase").isNotNull() & ~F.isnan("phase"))
                 .select(
                     F.element_at(src_shard, 1).alias("source"),

@@ -469,11 +469,18 @@ def test_combined_sparse_resumes_state_only_rows(spark):
         .sort_index()
     )
     assert set(out.index) == {"d000", "d001", "d002"}
+    # resumed docs emit only their window [idx0_prev, M); cold docs the
+    # full grid — emit0 records each row's absolute start step
+    e0 = int(r1["idx0"])
+    assert int(out.loc["d001", "emit0"]) == e0
+    assert int(out.loc["d000", "emit0"]) == e0
+    assert int(out.loc["d002", "emit0"]) == 0
     # doc 1 (state-only): overlap re-emitted + pure forecasts to the end
     p1 = np.asarray(out.loc["d001", "phase"], dtype=np.float64)
-    assert np.isfinite(p1[r1["idx0"]:]).all()
+    assert len(p1) == M - e0
+    assert np.isfinite(p1).all()
     g1 = np.asarray(out.loc["d001", "gap"])
-    assert all(bool(v) for v in g1[k_split:])  # every new step forecast
+    assert all(bool(v) for v in g1[k_split - e0:])  # every new step forecast
     assert out.loc["d001", "k_done"] == M
     # doc 0 matches a direct resume; doc 2 matches a cold full run
     y0 = y.copy()
@@ -483,7 +490,7 @@ def test_combined_sparse_resumes_state_only_rows(spark):
               "idx0": r1["idx0"], "k_done": r1["k_done"]},
     )
     np.testing.assert_allclose(
-        np.asarray(out.loc["d000", "phase"], dtype=np.float64)[k_split:],
+        np.asarray(out.loc["d000", "phase"], dtype=np.float64)[k_split - e0:],
         r2["phase"][0][k_split:], rtol=1e-12,
     )
     cold = kalman_direct_batch(y[2:3], T, CFG)

@@ -321,15 +321,24 @@ def ab_main() -> None:
 
     rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
     best: dict[tuple[str, int], float] = {}
+    samples: dict[tuple[str, int], list] = {}
     try:
-        for _ in range(rounds):
+        for r in range(rounds):
             # adjacent per level: head-8, prev-8, head-32, prev-32 — any
-            # bus-weather drift hits both sides of each comparison equally
+            # bus-weather drift hits both sides of each comparison equally.
+            # Order ALTERNATES per round: with a fixed order each side's
+            # children always follow the same predecessor (JVM teardown /
+            # page-cache state), a systematic the W7 run measured at ~11%
+            # on byte-identical code; alternation cancels it in the min.
             for cores in (WORKER_CORES, N_WORKERS * WORKER_CORES):
-                for side, pkg in (("head", None), ("prev", wtd)):
+                order = (("head", None), ("prev", wtd))
+                if r % 2:
+                    order = order[::-1]
+                for side, pkg in order:
                     t = run_child(cores, pkg)
                     k = (side, cores)
                     best[k] = min(best.get(k, float("inf")), t)
+                    samples.setdefault(k, []).append(round(t, 2))
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wtd],
@@ -350,6 +359,8 @@ def ab_main() -> None:
             "sec_1exec": round(t1, 2),
             "sec_4exec": round(t4, 2),
             "efficiency": round((t1 / t4) / (n4 / n), 3),
+            "samples_1exec": samples[(side, n)],
+            "samples_4exec": samples[(side, n4)],
         }
     rep["ab_ratio_1exec"] = round(
         best[("head", n)] / best[("prev", n)], 3
