@@ -65,7 +65,14 @@ ONLY = {
     s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
 }
 # commit-heavy jobs the A/B harness re-measures against the previous round
-AB_JOBS = ("q_tiers", "q_pipeline_kf", "q_tiers_bulk", "q_compress", "q_kalman")
+AB_JOBS = (
+    "q_tiers",
+    "q_pipeline_kf",
+    "q_pipeline_incr",
+    "q_tiers_bulk",
+    "q_compress",
+    "q_kalman",
+)
 
 
 def _want(name: str) -> bool:
