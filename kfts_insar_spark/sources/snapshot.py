@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,15 @@ class SnapshotTable:
         self.path = path
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        # parsed-manifest cache: a committed manifests/<sid>.json is
+        # IMMUTABLE (os.link claims the name exclusively; expiry deletes,
+        # never rewrites), so caching by sid is safe. Without it every
+        # property()/read() re-parses the full file-entry list — O(table
+        # files) driver time per metadata question, paid dozens of times
+        # per pipeline run and growing with table size. Bounded: tables
+        # are long-lived objects, manifests can be large.
+        self._manifest_cache: dict[int, dict] = {}
+        self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------- metadata
     @property
@@ -57,8 +67,17 @@ class SnapshotTable:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return None
-        with open(os.path.join(self.path, "manifests", f"{sid}.json")) as f:
-            return json.load(f)
+        m = self._manifest_cache.get(sid)
+        if m is None:
+            with open(os.path.join(self.path, "manifests", f"{sid}.json")) as f:
+                m = json.load(f)
+            with self._cache_lock:
+                if len(self._manifest_cache) >= 8:  # keep the working set small
+                    self._manifest_cache.pop(
+                        next(iter(self._manifest_cache)), None
+                    )
+                self._manifest_cache[sid] = m
+        return m
 
     def snapshots(self) -> list[dict]:
         out = []

@@ -755,5 +755,10 @@ def test_read_tier_rejects_legacy_codec_format(spark, seq, tmp_path):
     del m["properties"]["codec_format"]  # simulate a pre-upgrade table
     with open(mpath, "w") as f:
         json.dump(m, f)
+    # a fresh TierPipeline = the real scenario (a new process resumes the
+    # old dir); the original instance may legitimately serve its cached
+    # parse — committed manifests are immutable, only this simulation edits
+    # one in place
+    fresh = TierPipeline(str(tmp_path))
     with pytest.raises(ValueError, match="codec_format"):
-        pipe.read_tier(spark, "compressed")
+        fresh.read_tier(spark, "compressed")
