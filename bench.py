@@ -587,6 +587,7 @@ def main() -> None:
         ab_rerun = {
             "q_tiers": (tiers, mk_tiers_dir),
             "q_pipeline_kf": (pipeline_kf, mk_kf_dir),
+            "q_pipeline_incr": (pipeline_incr, mk_incr_dir),
             "q_tiers_bulk": (tiers_bulk, mk_bulk_dir),
             "q_compress": (compress, None),
             "q_kalman": (kalman, None),
@@ -596,7 +597,7 @@ def main() -> None:
         except Exception as e:  # never let the A/B harness sink the bench
             ab_block = {"error": f"{type(e).__name__}: {e}"}
         finally:
-            for td in tiers_dirs + bulk_dirs:
+            for td in tiers_dirs + bulk_dirs + incr_dirs:
                 shutil.rmtree(td, ignore_errors=True)
 
     # fixed single-core hardware control (pure-Python ALU loop, zero Spark):
