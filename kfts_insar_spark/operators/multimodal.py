@@ -154,6 +154,21 @@ def _px_series(seed: int, n: int) -> np.ndarray:
     )
 
 
+def _rechunk(
+    batches: Iterator[pd.DataFrame], max_docs: int = 1024
+) -> Iterator[pd.DataFrame]:
+    """Slice incoming Arrow batches to ≤ max_docs rows. The payload UDFs
+    materialize several full copies of every byte in their chunk (encoded
+    payload list, concatenated pixel segment, int64 widenings) — a default
+    20k-row Arrow batch of ~45 KB image payloads allocates multi-GB
+    intermediates per task (measured as a 61× sf1-gate blowup: allocator
+    thrash, not compute). Peak memory per task becomes O(max_docs ×
+    payload), independent of Arrow batch sizing."""
+    for pdf in batches:
+        for lo in range(0, len(pdf), max_docs):
+            yield pdf.iloc[lo : lo + max_docs]
+
+
 def synth_media(
     docs: DataFrame, media_type: str = "image/x-portable-pixmap"
 ) -> DataFrame:
@@ -166,7 +181,7 @@ def synth_media(
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             if not len(pdf):
                 continue
             nch = pdf["n_chars"].to_numpy(np.int64)
@@ -218,7 +233,7 @@ def synth_video(
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             if not len(pdf):
                 continue
             nch = pdf["n_chars"].to_numpy(np.int64)
@@ -273,7 +288,7 @@ def synth_audio(docs: DataFrame) -> DataFrame:
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             if not len(pdf):
                 continue
             nch = pdf["n_chars"].to_numpy(np.int64)
@@ -334,62 +349,69 @@ def decode_features(media: DataFrame, batch_docs: int = 1024) -> DataFrame:
     flat = media.select("doc_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            B = len(pdf)
-            if B == 0:
-                continue
-            imgs = [decode_ppm(bytes(p))[0] for p in pdf["payload"]]
-            sizes = np.array([im.size for im in imgs], dtype=np.int64)
-            cc = np.array([im.shape[2] for im in imgs], dtype=np.int64)
-            seg = np.concatenate([im.reshape(-1) for im in imgs])
-            offs = np.zeros(B + 1, dtype=np.int64)
-            np.cumsum(sizes, out=offs[1:])
+        # Re-chunk each Arrow batch to ≤ batch_docs docs: the feature math
+        # materializes ~3 int64 copies of every pixel in the chunk, so a
+        # full 20k-row Arrow batch of ~45 KB payloads would allocate
+        # multi-GB intermediates per task (measured 61× at the sf1 gate —
+        # allocator thrash, not compute). 1024 docs ≈ 15 MB of pixels.
+        for whole in batches:
+            for lo in range(0, len(whole), batch_docs):
+                yield _decode_chunk(whole.iloc[lo : lo + batch_docs])
 
-            means = np.full((B, 3), np.nan)
-            stds = np.empty(B)
-            seg64 = seg.astype(np.int64)
-            segsq = seg64 * seg64
-            # P6 is always 3-channel; the per-channel-count loop survives
-            # for future formats with c != 3
-            for c in np.unique(cc):
-                rows = np.flatnonzero(cc == c)
-                take = np.concatenate(
-                    [np.arange(offs[i], offs[i + 1]) for i in rows]
-                ) if len(rows) < B else None
-                g = seg64 if take is None else seg64[take]
-                gsq = segsq if take is None else segsq[take]
-                gsizes = sizes[rows]
-                goffs = np.zeros(len(rows) + 1, dtype=np.int64)
-                np.cumsum(gsizes, out=goffs[1:])
-                m2 = g.reshape(-1, c)
-                ch_sums = np.add.reduceat(m2, goffs[:-1] // c, axis=0)  # (Bg,c)
-                npix = (gsizes // c).astype(np.float64)
-                means[rows, : min(c, 3)] = (ch_sums[:, :3] / npix[:, None])[
-                    :, : min(c, 3)
-                ]
-                sum_all = ch_sums.sum(axis=1)
-                sumsq = np.add.reduceat(gsq, goffs[:-1])
-                mean_all = sum_all / gsizes
-                var = sumsq / gsizes - mean_all * mean_all
-                stds[rows] = np.sqrt(np.maximum(var, 0.0))
+    def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        B = len(pdf)
+        imgs = [decode_ppm(bytes(p))[0] for p in pdf["payload"]]
+        sizes = np.array([im.size for im in imgs], dtype=np.int64)
+        cc = np.array([im.shape[2] for im in imgs], dtype=np.int64)
+        seg = np.concatenate([im.reshape(-1) for im in imgs])
+        offs = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
 
-            # 16-bin histogram per doc in ONE bincount over a combined key
-            doc_idx = np.repeat(np.arange(B, dtype=np.int64), sizes)
-            hist = np.bincount(
-                doc_idx * 16 + (seg >> 4), minlength=B * 16
-            ).reshape(B, 16)
-            fp = (hist.astype(np.int64) * _FP_POWS).sum(axis=1) % _FP_MOD
+        means = np.full((B, 3), np.nan)
+        stds = np.empty(B)
+        seg64 = seg.astype(np.int64)
+        segsq = seg64 * seg64
+        # P6 is always 3-channel; the per-channel-count loop survives
+        # for future formats with c != 3
+        for c in np.unique(cc):
+            rows = np.flatnonzero(cc == c)
+            take = np.concatenate(
+                [np.arange(offs[i], offs[i + 1]) for i in rows]
+            ) if len(rows) < B else None
+            g = seg64 if take is None else seg64[take]
+            gsq = segsq if take is None else segsq[take]
+            gsizes = sizes[rows]
+            goffs = np.zeros(len(rows) + 1, dtype=np.int64)
+            np.cumsum(gsizes, out=goffs[1:])
+            m2 = g.reshape(-1, c)
+            ch_sums = np.add.reduceat(m2, goffs[:-1] // c, axis=0)  # (Bg,c)
+            npix = (gsizes // c).astype(np.float64)
+            means[rows, : min(c, 3)] = (ch_sums[:, :3] / npix[:, None])[
+                :, : min(c, 3)
+            ]
+            sum_all = ch_sums.sum(axis=1)
+            sumsq = np.add.reduceat(gsq, goffs[:-1])
+            mean_all = sum_all / gsizes
+            var = sumsq / gsizes - mean_all * mean_all
+            stds[rows] = np.sqrt(np.maximum(var, 0.0))
 
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "mean_c0": means[:, 0],
-                    "mean_c1": means[:, 1],
-                    "mean_c2": means[:, 2],
-                    "std_all": stds,
-                    "hist_fp": fp,
-                }
-            )
+        # 16-bin histogram per doc in ONE bincount over a combined key
+        doc_idx = np.repeat(np.arange(B, dtype=np.int64), sizes)
+        hist = np.bincount(
+            doc_idx * 16 + (seg >> 4), minlength=B * 16
+        ).reshape(B, 16)
+        fp = (hist.astype(np.int64) * _FP_POWS).sum(axis=1) % _FP_MOD
+
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "mean_c0": means[:, 0],
+                "mean_c1": means[:, 1],
+                "mean_c2": means[:, 2],
+                "std_all": stds,
+                "hist_fp": fp,
+            }
+        )
 
     return flat.mapInPandas(run, schema=schema)
 
@@ -419,7 +441,7 @@ def frame_sample(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             if len(pdf) == 0:
                 continue
             out_doc, out_idx, out_ts, out_pay, out_w, out_h = [], [], [], [], [], []
@@ -474,7 +496,7 @@ def audio_features(media: DataFrame) -> DataFrame:
     flat = media.select("doc_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             B = len(pdf)
             if B == 0:
                 continue
@@ -521,7 +543,7 @@ def resize_ppm(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFram
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         th, tw = target
-        for pdf in batches:
+        for pdf in _rechunk(batches):
             rows = []
             for doc_id, payload, mtype in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]
