@@ -206,3 +206,19 @@ def test_audio_features_against_numpy(spark):
             np.abs(np.diff((w >= 0).astype(np.int16))).sum()
         )
         assert got["peak"] == int(np.abs(w).max())
+
+
+def test_rechunk_bounds_chunk_size_and_loses_nothing():
+    """The payload UDFs' task-memory bound (r5 sf1-gate fix): every chunk
+    handed to the batch feature math must be <= max_docs rows, with all
+    rows preserved in order — peak task memory then scales with the chunk,
+    not the Arrow batch."""
+    import pandas as pd
+
+    from kfts_insar_spark.operators.multimodal import _rechunk
+
+    big = pd.DataFrame({"x": range(5000)})
+    outs = list(_rechunk(iter([big, pd.DataFrame({"x": []}), big.iloc[:7]])))
+    assert max(len(o) for o in outs) <= 1024
+    assert sum(len(o) for o in outs) == 5007
+    assert [v for o in outs for v in o["x"]] == list(range(5000)) + list(range(7))
