@@ -673,3 +673,42 @@ def test_liseg_three_segment_handoff_non_chained():
     ora = kalman_direct_oracle(y, T, cfg)
     np.testing.assert_allclose(res["phase"][0], ora["phase"], rtol=1e-9)
     np.testing.assert_allclose(res["m"][0], ora["m"], rtol=1e-9)
+
+
+def test_explode_handles_frames_without_emit0(spark):
+    """explode_kf_output must serve BOTH producers: the combined kernel
+    (emit0-sliced arrays) and kalman_gapfill_wide (full-grid arrays, no
+    emit0 column -> implicit 0). Exploding the wide path's cold output
+    must cover every grid step with the right t values and match the
+    kernel's array contents position-for-position."""
+    import pandas as pd
+
+    from kfts_insar_spark.operators.kalman import (
+        explode_kf_output,
+        kalman_direct_batch,
+        kalman_gapfill_wide,
+    )
+
+    _, y, _, _ = make_series(3)
+    wide = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{b}" for b in range(3)],
+                "values": [
+                    [None if not np.isfinite(v) else float(v) for v in y[b]]
+                    for b in range(3)
+                ],
+            }
+        )
+    )
+    out = explode_kf_output(
+        kalman_gapfill_wide(wide, T, CFG), T
+    ).toPandas()
+    assert len(out) == 3 * M
+    g = out[out.doc_id == "d1"].sort_values("step")
+    assert list(g["step"]) == list(range(M))
+    np.testing.assert_allclose(g["t"].to_numpy(), T, rtol=1e-12)
+    ref = kalman_direct_batch(y[1:2], T, CFG)
+    np.testing.assert_allclose(
+        g["phase"].to_numpy(), ref["phase"][0], rtol=1e-9
+    )
