@@ -133,15 +133,22 @@ def decode_wav(buf: bytes) -> np.ndarray:
         body = pos + 8
         if cid == b"fmt ":
             audio_fmt = int.from_bytes(buf[body : body + 2], "little")
+            channels = int.from_bytes(buf[body + 2 : body + 4], "little")
             bits = int.from_bytes(buf[body + 14 : body + 16], "little")
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits != 16 or channels != 1:
                 raise ValueError(
-                    f"only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                    "only mono PCM16 supported "
+                    f"(fmt={audio_fmt}, channels={channels}, bits={bits})"
                 )
             fmt_ok = True
         elif cid == b"data":
             if not fmt_ok:
                 raise ValueError("WAV data chunk before fmt chunk")
+            if body + size > len(buf):
+                raise ValueError(
+                    f"truncated WAV data chunk: declares {size} bytes, "
+                    f"{len(buf) - body} remain"
+                )
             return np.frombuffer(buf[body : body + size], dtype="<i2")
         pos = body + size + (size & 1)  # chunks are word-aligned (RIFF spec)
     raise ValueError("WAV stream has no data chunk")
@@ -349,14 +356,8 @@ def decode_features(media: DataFrame, batch_docs: int = 1024) -> DataFrame:
     flat = media.select("doc_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Re-chunk each Arrow batch to ≤ batch_docs docs: the feature math
-        # materializes ~3 int64 copies of every pixel in the chunk, so a
-        # full 20k-row Arrow batch of ~45 KB payloads would allocate
-        # multi-GB intermediates per task (measured 61× at the sf1 gate —
-        # allocator thrash, not compute). 1024 docs ≈ 15 MB of pixels.
-        for whole in batches:
-            for lo in range(0, len(whole), batch_docs):
-                yield _decode_chunk(whole.iloc[lo : lo + batch_docs])
+        for pdf in _rechunk(batches, batch_docs):
+            yield _decode_chunk(pdf)
 
     def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         B = len(pdf)
@@ -420,8 +421,12 @@ def frame_sample(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Frame sampling for PPM-stream video payloads: one output row per
-    sampled frame at a fixed timestamp stride (the standard pre-training
-    video treatment: sample k frames, then run the image path on each).
+    sample timestamp (0, every_ms, 2·every_ms, … < duration, ≤ max_frames
+    samples), each mapped to its source frame by the stream's native
+    interval (duration / frame count) — the standard pre-training video
+    treatment (ffmpeg -r style: a stride coarser than the native spacing
+    skips frames, a finer one repeats them). `frame_idx` is the SOURCE
+    frame index, `ts_ms` the sample timestamp.
 
     The decoder WALKS the real concatenated-P6 byte stream (header parse
     per frame → next offset), re-encodes each sampled frame as a
@@ -451,18 +456,41 @@ def frame_sample(
                 pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 buf = bytes(payload)
-                pos, k = 0, 0
-                while pos < len(buf) and k < max_frames:
-                    img, nxt = decode_ppm(buf, pos)  # codec boundary
+                # walk the whole stream once (header parse per frame); the
+                # native frame interval comes from duration / frame count,
+                # and samples are taken at ts = 0, every_ms, 2·every_ms, …
+                # mapping each ts to its source frame — every_ms ≠ the
+                # stream's native spacing skips or repeats frames, exactly
+                # like ffmpeg -r resampling (the earlier walk emitted the
+                # first max_frames consecutive frames with fabricated
+                # timestamps, which was only correct when the stride
+                # happened to equal the native interval)
+                frames = []
+                pos = 0
+                while pos < len(buf):
+                    img, pos = decode_ppm(buf, pos)  # codec boundary
+                    frames.append(img)
+                n_total = len(frames)
+                if n_total == 0:
+                    continue
+                dur = int(dur)
+                native = max(1, dur // n_total) if dur > 0 else stride
+                k = 0
+                while k < max_frames:
+                    ts = k * stride
+                    if k > 0 and dur > 0 and ts >= dur:
+                        break
+                    i = min(n_total - 1, ts // native)
+                    img = frames[i]
                     out_doc.append(doc_id)
-                    out_idx.append(k)
-                    out_ts.append(k * stride)
+                    out_idx.append(i)
+                    out_ts.append(ts)
                     out_pay.append(encode_ppm(img))
                     out_h.append(img.shape[0])
                     out_w.append(img.shape[1])
                     segs.append(img.reshape(-1))
                     sizes.append(img.size)
-                    pos, k = nxt, k + 1
+                    k += 1
             if not segs:
                 continue
             # batch numpy beyond the decode boundary: one concat + reduceat

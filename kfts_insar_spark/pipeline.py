@@ -366,7 +366,27 @@ class TierPipeline:
             return sid_h, n_h, files_h, sid_d, n_d, files_d
 
         def run_compressed():
-            # ---- compressed raw chunks for affected days (Gorilla)
+            # ---- compressed raw chunks for affected days (Gorilla).
+            # codec_format is a TABLE-level property, so stamping v2 from a
+            # partial-day overwrite would vouch for legacy partitions this
+            # commit never rewrote (their untagged streams would then pass
+            # read_tier's gate and decode to garbage). Refuse unless the
+            # prior snapshot is already v2 or every prior partition is
+            # being overwritten right now (full re-materialization).
+            prior_c = self.comp.manifest()
+            if prior_c is not None and prior_c["files"]:
+                pf = prior_c.get("properties", {}).get("codec_format")
+                if (pf is None or int(pf) != CODEC_FORMAT) and not {
+                    e["partition"].get("pday") for e in prior_c["files"]
+                } <= dayset:
+                    raise ValueError(
+                        f"compressed tier at {self.comp.path} holds "
+                        f"codec_format={pf!r} partitions outside this "
+                        f"commit's overwrite set; stamping v{CODEC_FORMAT} "
+                        "would mask their legacy streams — re-materialize "
+                        "the whole tier from raw (expire/drop it, then "
+                        "re-run) instead of resuming incrementally"
+                    )
             c_inc = compress_tier(raw_days).withColumn("pday", _pday())
             sid_c = self.comp.overwrite_partitions(
                 c_inc,
@@ -980,14 +1000,21 @@ class TierPipeline:
             "gapfilled": self.gap,
             "state": self.kf_state,
         }[tier]
-        if tier == "compressed" and tbl.current_snapshot_id() is not None:
-            fmt = tbl.property("codec_format")
-            if fmt is None or int(fmt) != CODEC_FORMAT:
-                raise ValueError(
-                    f"compressed tier at {tbl.path} has codec_format={fmt!r}, "
-                    f"engine expects v{CODEC_FORMAT}; pre-upgrade untagged "
-                    "chunks would decode to garbage — re-materialize the "
-                    "tier (re-run the pipeline over the raw tier) before "
-                    "reading it"
-                )
+        if tier == "compressed":
+            # version-gate the manifest actually being read: a time-travel
+            # read of a pre-upgrade snapshot must fail the same way a
+            # current read of a pre-upgrade table does (the CURRENT
+            # property says nothing about an older snapshot's files)
+            m = tbl.manifest(snapshot_id)
+            if m is not None:
+                fmt = m.get("properties", {}).get("codec_format")
+                if fmt is None or int(fmt) != CODEC_FORMAT:
+                    raise ValueError(
+                        f"compressed tier at {tbl.path} (snapshot "
+                        f"{m.get('snapshot_id')}) has codec_format={fmt!r}, "
+                        f"engine expects v{CODEC_FORMAT}; pre-upgrade "
+                        "untagged chunks would decode to garbage — "
+                        "re-materialize the tier (re-run the pipeline over "
+                        "the raw tier) before reading it"
+                    )
         return tbl.read(spark, snapshot_id)

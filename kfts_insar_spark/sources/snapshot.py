@@ -449,6 +449,10 @@ class SnapshotTable:
                     os.remove(e["path"])
                     removed += 1
             os.remove(os.path.join(self.path, "manifests", f"{s['snapshot_id']}.json"))
+            # drop the cached parse too: serving an expired snapshot from
+            # cache would defer the FileNotFoundError into a confusing
+            # executor-side failure over deleted data files
+            self._manifest_cache.pop(s["snapshot_id"], None)
         return {"removed_files": removed, "removed_snapshots": len(drop)}
 
     def remove_orphans(self, older_than_seconds: float = 86400.0) -> dict:

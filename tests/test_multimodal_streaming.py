@@ -222,3 +222,49 @@ def test_rechunk_bounds_chunk_size_and_loses_nothing():
     assert max(len(o) for o in outs) <= 1024
     assert sum(len(o) for o in outs) == 5007
     assert [v for o in outs for v in o["x"]] == list(range(5000)) + list(range(7))
+
+
+def test_frame_sample_honors_stride_and_native_interval(spark):
+    """every_ms coarser than the stream's native frame interval must SKIP
+    source frames (ffmpeg -r semantics), with frame_idx = the source frame
+    and ts_ms = the sample timestamp — the pre-fix walk returned the first
+    max_frames consecutive frames with fabricated timestamps."""
+    import pandas as pd
+
+    from kfts_insar_spark.operators.multimodal import frame_sample, synth_video
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "n_chars": [5]})  # 5 % 6 + 1 = 6 frames
+    )
+    video = synth_video(docs, frame_ms=1000)  # native 1000 ms, dur 6000 ms
+    out = (
+        frame_sample(video, every_ms=2000, max_frames=8)
+        .toPandas()
+        .sort_values("ts_ms")
+    )
+    assert list(out["ts_ms"]) == [0, 2000, 4000]
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    # finer stride repeats the source frame at distinct timestamps
+    out2 = (
+        frame_sample(video, every_ms=500, max_frames=4)
+        .toPandas()
+        .sort_values("ts_ms")
+    )
+    assert list(out2["ts_ms"]) == [0, 500, 1000, 1500]
+    assert list(out2["frame_idx"]) == [0, 0, 1, 1]
+
+
+def test_decode_wav_rejects_truncation_and_stereo():
+    import numpy as np
+    import pytest
+
+    from kfts_insar_spark.operators.multimodal import decode_wav, encode_wav
+
+    buf = encode_wav(np.arange(100, dtype=np.int16))
+    assert len(decode_wav(buf)) == 100
+    with pytest.raises(ValueError, match="truncated WAV data"):
+        decode_wav(buf[:-10])
+    stereo = bytearray(buf)
+    stereo[22:24] = (2).to_bytes(2, "little")  # fmt channels field
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(stereo))

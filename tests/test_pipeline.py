@@ -762,3 +762,66 @@ def test_read_tier_rejects_legacy_codec_format(spark, seq, tmp_path):
     fresh = TierPipeline(str(tmp_path))
     with pytest.raises(ValueError, match="codec_format"):
         fresh.read_tier(spark, "compressed")
+
+
+def test_time_travel_read_checks_snapshot_codec_format(spark, seq, tmp_path):
+    """The codec gate must check the manifest being READ: a time-travel
+    read of a pre-upgrade snapshot bypasses a current-snapshot-only check
+    (r5 review finding)."""
+    import json
+    import os
+
+    from kfts_insar_spark.operators.compress import CODEC_FORMAT
+
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq)
+    sid = pipe.comp.current_snapshot_id()
+    # commit a clean v2 full overwrite on top, then doctor the OLD manifest
+    cur = pipe.comp.read(spark)
+    pipe.comp.overwrite_partitions(
+        cur, ["pday"], properties={"codec_format": CODEC_FORMAT}
+    )
+    mpath = os.path.join(pipe.comp.path, "manifests", f"{sid}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["properties"]["codec_format"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    fresh = TierPipeline(str(tmp_path))
+    assert fresh.read_tier(spark, "compressed") is not None  # current ok
+    with pytest.raises(ValueError, match="codec_format"):
+        fresh.read_tier(spark, "compressed", snapshot_id=sid)
+
+
+def test_partial_overwrite_cannot_stamp_v2_over_legacy_partitions(
+    spark, tmp_path
+):
+    """An incremental resume of a pre-upgrade table must refuse to stamp
+    codec_format=2 while untouched legacy day partitions survive (table-
+    level property would vouch for files the commit never rewrote)."""
+    import json
+    import os
+
+    # data spanning >1 day so the resume's affected days exclude day 1
+    seq2 = sequences(spark, 600, docs_per_batch=1)
+    split = int(seq2.approxQuantile("ingest_es", [0.4], 0)[0])
+    pipe = TierPipeline(str(tmp_path))
+    pipe.run(spark, seq2.filter(F.col("ingest_es") <= split))
+    days1 = set(pipe.comp.last_commit_partitions("pday"))
+    sid = pipe.comp.current_snapshot_id()
+    mpath = os.path.join(pipe.comp.path, "manifests", f"{sid}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["properties"]["codec_format"]  # simulate pre-upgrade table
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    fresh = TierPipeline(str(tmp_path))
+    # resume over the full input: if the increment leaves any legacy day
+    # untouched the compressed stage must raise; if the increment happens
+    # to cover every prior day the commit legitimately re-materializes
+    try:
+        fresh.run(spark, seq2)
+        new_days = set(fresh.comp.last_commit_partitions("pday"))
+        assert days1 <= new_days, "v2 stamped but legacy days survived"
+    except ValueError as e:
+        assert "legacy streams" in str(e) or "codec_format" in str(e)

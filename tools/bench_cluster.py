@@ -320,6 +320,8 @@ def ab_main() -> None:
         return got["kalman"]
 
     rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+    if rounds < 1:
+        raise SystemExit("SCALE_ROUNDS must be >= 1 for an A/B report")
     best: dict[tuple[str, int], float] = {}
     samples: dict[tuple[str, int], list] = {}
     try:
