@@ -285,11 +285,12 @@ def kalman_direct_batch(
         # ---- update: scalar obs y_k on the newest phase (H = e_last)
         y = values[:, k]
         obs = np.isfinite(y)
+        nobs = ~obs  # hoisted: used three times below
         nu = np.where(obs, y - X[:, n - 1], np.nan)
         S = P[:, n - 1, n - 1] + R  # (B,)
         K = Klast[:, :n]
         np.divide(P[:, :n, n - 1], S[:, None], out=K)
-        K[~obs] = 0.0  # gap → no update (== reference forecast-only branch)
+        K[nobs] = 0.0  # gap → no update (== reference forecast-only branch)
         last_row = rowbuf[:, :n]
         last_row[:] = P[:, n - 1, :n]  # copy before in-place P update
         X[:, :n] += K * np.where(obs, nu, 0.0)[:, None]
@@ -297,7 +298,7 @@ def kalman_direct_batch(
         np.multiply(K[:, :, None], last_row[:, None, :], out=prod)
         P[:, :n, :n] -= prod
         innov[:, k] = nu
-        gap[:, k] = ~obs
+        gap[:, k] = nobs
 
         # ---- check_fit (reference kf/KF_class.py:319-333): weighted
         # POST-fit residual against the analysed state/covariance
@@ -314,7 +315,27 @@ def kalman_direct_batch(
         # ---- compaction every step (reference's always-true condition)
         if k >= ts:
             n_drop = (n - L_live) - ts
-            if n_drop > 0:
+            if n_drop == 1:
+                # steady-state fast path: one archived phase per step.
+                # Same stores as the general branch below, with scalar
+                # indexing instead of arange/fancy-index temporaries — the
+                # loop is numpy-dispatch-bound on long grids (59 us/step at
+                # B=5; this path removes 5 allocations per step).
+                phase[:, idx0] = X[:, L_live]
+                std[:, idx0] = np.sqrt(np.abs(P[:, L_live, L_live]))
+                nk = n - 1
+                t1 = scr[:, 0, :ts]
+                t1[:] = X[:, L_live + 1 : n]
+                X[:, L_live:nk] = t1
+                t2 = scr[:, :n, :ts]
+                t2[:] = P[:, :n, L_live + 1 : n]
+                P[:, :n, L_live:nk] = t2
+                t3 = scr[:, :ts, :nk]
+                t3[:] = P[:, L_live + 1 : n, :nk]
+                P[:, L_live:nk, :nk] = t3
+                idx0 += 1
+                n = nk
+            elif n_drop > 0:
                 steps = np.arange(idx0, idx0 + n_drop)
                 phase[:, steps] = X[:, L_live : L_live + n_drop]
                 dvar = P[

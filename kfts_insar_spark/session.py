@@ -62,6 +62,13 @@ def get_spark(
         # legacy semantics the oracle arithmetic assumes (we never rely on
         # either, but a hard error mid-benchmark is worse than a null)
         .config("spark.sql.ansi.enabled", "false")
+        # v2 file-output commit: task-side renames instead of a driver-side
+        # sequential pass over every partition dir — the snapshot layer's
+        # manifest (not _SUCCESS markers) is the source of truth, so the
+        # weaker job-level atomicity of v2 is irrelevant here, and
+        # partitioned tier writes (one dir per pday) commit O(files/tasks)
+        # instead of O(files) on the driver
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
