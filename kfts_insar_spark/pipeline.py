@@ -56,7 +56,7 @@ def _pday(col: str = "bucket_es"):
     return F.date_format(F.timestamp_seconds(F.col(col)), "yyyy-MM-dd").alias("pday")
 
 
-def _write_tasks(spark: SparkSession) -> int:
+def _write_tasks(spark: SparkSession, n_parts: int | None = None) -> int:
     """Scale-adaptive optimize-write parallelism for tier commits.
 
     The snapshot writer hash-clusters on the partition column, so the file
@@ -66,11 +66,21 @@ def _write_tasks(spark: SparkSession) -> int:
     single largest cost of the bulk ingest and the gap-fill output commit).
     Derived from the session's parallelism, not the local core count, so the
     same code sizes itself on a cluster; override with
-    SPARK_GRAFT_WRITE_TASKS for deployments that want explicit control."""
+    SPARK_GRAFT_WRITE_TASKS for deployments that want explicit control.
+
+    ``n_parts`` (the number of partition values this write touches, when the
+    caller knows it from commit metadata) clamps the task count: tasks
+    beyond one-per-day are guaranteed empty, and a small resume increment
+    paying ~30 no-op task launches per commit measurably regressed the
+    incremental path (sf0.1 A/B 1.127 before this clamp)."""
     env = os.environ.get("SPARK_GRAFT_WRITE_TASKS")
     if env:
-        return max(1, int(env))
-    return max(4, min(256, spark.sparkContext.defaultParallelism))
+        wt = max(1, int(env))
+    else:
+        wt = max(4, min(256, spark.sparkContext.defaultParallelism))
+    if n_parts is not None:
+        wt = max(1, min(wt, int(n_parts)))
+    return wt
 
 
 # per-source token-count series are O(10^5..10^6) magnitude — noise scales
@@ -306,7 +316,9 @@ class TierPipeline:
             inc,
             partition_by=["pday"],
             properties={"watermark_es": upto},
-            coalesce=_write_tasks(spark),
+            # the increment's buckets sit in (wm_s, upto] — day span bounds
+            # the partition count this write can touch
+            coalesce=_write_tasks(spark, (upto - max(wm_s, 0)) // 86400 + 2),
             stats_cols=["bucket_es"],
         )
         self.log.record(
@@ -374,7 +386,8 @@ class TierPipeline:
             try:
                 with self._stage("t_1h_write"):
                     sid_h = self.h1.overwrite_partitions(
-                        h_inc, ["pday"], properties={"watermark_es": wm}, coalesce=_write_tasks(spark)
+                        h_inc, ["pday"], properties={"watermark_es": wm},
+                        coalesce=_write_tasks(spark, len(days)),
                     )
                 n_h = self.h1.last_commit_rows()
                 files_h = self.h1.manifest()["files"]
@@ -385,7 +398,8 @@ class TierPipeline:
                 ).withColumn("pday", _pday())
                 with self._stage("t_1d_write"):
                     sid_d = self.d1.overwrite_partitions(
-                        d_inc, ["pday"], properties={"watermark_es": wm}, coalesce=_write_tasks(spark)
+                        d_inc, ["pday"], properties={"watermark_es": wm},
+                        coalesce=_write_tasks(spark, len(days)),
                     )
                 n_d = self.d1.last_commit_rows()
                 files_d = self.d1.manifest()["files"]
@@ -421,7 +435,7 @@ class TierPipeline:
                     c_inc,
                     ["pday"],
                     properties={"watermark_es": wm, "codec_format": CODEC_FORMAT},
-                    coalesce=_write_tasks(spark),
+                    coalesce=_write_tasks(spark, len(days)),
                 )
             return sid_c, self.comp.last_commit_rows(), self.comp.manifest()["files"]
 
@@ -646,6 +660,7 @@ class TierPipeline:
             # resume run's dominant cost (measured 2.6 s of a 4.2 s stage).
             cover_min = lo + cover_min_step * RAW_SECONDS
             rows_cached = None
+            n_gap_parts = None
             if self.gap.manifest() is not None:
                 import datetime as dt
 
@@ -655,6 +670,7 @@ class TierPipeline:
                     touched = {
                         r.pday for r in rows.select("pday").distinct().collect()
                     }
+                n_gap_parts = len(touched)
                 cover_day = dt.datetime.utcfromtimestamp(
                     int(cover_min)
                 ).strftime("%Y-%m-%d")
@@ -702,7 +718,7 @@ class TierPipeline:
                     rows,
                     ["pday"],
                     properties={"watermark_es": wm},
-                    coalesce=_write_tasks(spark),
+                    coalesce=_write_tasks(spark, n_gap_parts),
                     stats_cols=["bucket_es"],
                 )
             n_rows = self.gap.last_commit_rows()
