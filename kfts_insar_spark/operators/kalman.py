@@ -1299,38 +1299,48 @@ def kalman_pairs(
     return bucketed.groupBy("_b").applyInPandas(run, schema=KF_OUTPUT)
 
 
-def explode_kf_output(wide: DataFrame, t_grid: np.ndarray) -> DataFrame:
+def explode_kf_output(
+    wide: DataFrame, t_grid: np.ndarray, with_t: bool = True
+) -> DataFrame:
     """(doc_id, phase[], std[], innov[], gap[]) → long KF_OUTPUT rows,
     entirely JVM-side. The epoch axis joins in from a broadcast (step, t)
     grid table — an inline array literal here costs a full array
     construction per OUTPUT row (measured: it WAS the explode stage's
-    entire cost on long grids)."""
-    t_vals = [float(t) for t in np.asarray(t_grid)]
-    grid_df = wide.sparkSession.createDataFrame(
-        list(enumerate(t_vals)), "step int, t double"
-    )
+    entire cost on long grids).
+
+    ``with_t=False`` skips the grid join entirely for consumers that drop
+    ``t`` (the pipeline's gap-tier writer derives bucket_es from the step
+    index and never stores t): every emitted step lies in [0, M) by
+    construction, so the inner join never filters — removing it removes a
+    45k-row broadcast build plus one hash probe per output row per run."""
     # emit0 = absolute step of each row's first array element (the combined
     # kernel slices a resumed doc's output to its emit window); wide frames
     # without it (full-grid emitters like kalman_gapfill_wide) start at 0
     e0 = F.col("emit0") if "emit0" in wide.columns else F.lit(0)
-    return (
-        wide.select(
-            "doc_id",
-            e0.alias("_e0"),
-            F.posexplode(F.arrays_zip("phase", "std", "innov", "gap")).alias(
-                "pos", "z"
-            ),
+    long = wide.select(
+        "doc_id",
+        e0.alias("_e0"),
+        F.posexplode(F.arrays_zip("phase", "std", "innov", "gap")).alias(
+            "pos", "z"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos") + F.col("_e0")).cast("int").alias("step"),
+        F.col("z.phase").alias("phase"),
+        F.col("z.std").alias("std"),
+        F.col("z.innov").alias("innov"),
+        F.col("z.gap").alias("gap_filled"),
+    )
+    if not with_t:
+        return long.select(
+            "doc_id", "step", "phase", "std", "innov", "gap_filled"
         )
-        .select(
-            "doc_id",
-            (F.col("pos") + F.col("_e0")).cast("int").alias("step"),
-            F.col("z.phase").alias("phase"),
-            F.col("z.std").alias("std"),
-            F.col("z.innov").alias("innov"),
-            F.col("z.gap").alias("gap_filled"),
-        )
-        .join(F.broadcast(grid_df), "step")
-        .select("doc_id", "step", "t", "phase", "std", "innov", "gap_filled")
+    t_vals = [float(t) for t in np.asarray(t_grid)]
+    grid_df = wide.sparkSession.createDataFrame(
+        list(enumerate(t_vals)), "step int, t double"
+    )
+    return long.join(F.broadcast(grid_df), "step").select(
+        "doc_id", "step", "t", "phase", "std", "innov", "gap_filled"
     )
 
 

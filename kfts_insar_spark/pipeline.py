@@ -626,7 +626,7 @@ class TierPipeline:
                 2,  # coalesce: tiny table — one file beats 32 footer reads
             )
             _t_out = time.perf_counter()
-            out = explode_kf_output(combined, t_grid)
+            out = explode_kf_output(combined, t_grid, with_t=False)
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
                 out
@@ -936,7 +936,7 @@ class TierPipeline:
         )
         combined = kalman_gapfill_combined(wide, t_grid, self.kf_cfg).persist()
         try:
-            out = explode_kf_output(combined, t_grid)
+            out = explode_kf_output(combined, t_grid, with_t=False)
             src_shard = F.split(F.col("doc_id"), "/")
             rows = (
                 out.filter(F.col("phase").isNotNull() & ~F.isnan("phase"))

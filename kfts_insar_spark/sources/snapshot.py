@@ -50,6 +50,7 @@ class SnapshotTable:
         # are long-lived objects, manifests can be large.
         self._manifest_cache: dict[int, dict] = {}
         self._cache_lock = threading.Lock()
+        self._pending_schema: str | None = None
 
     # ------------------------------------------------------------- metadata
     @property
@@ -106,6 +107,17 @@ class SnapshotTable:
         tier emits 32 tiny files per partition value, and every downstream
         stage pays listing+footer costs (measured as the pipeline's main
         overhead at bench scale)."""
+        # record the FILE schema (df minus directory-partition columns) for
+        # the manifest: readers then pass it to the parquet scan explicitly
+        # and skip per-read footer schema inference (one less driver-side
+        # file open per metadata question; the pipeline re-reads its tiers
+        # many times per run)
+        pset = set(partition_by or [])
+        from pyspark.sql.types import StructType
+
+        self._pending_schema = StructType(
+            [f for f in df.schema.fields if f.name not in pset]
+        ).json()
         out_dir = os.path.join(self.path, "data", str(sid), uuid.uuid4().hex[:8])
         if coalesce:
             # repartition, not coalesce: coalesce would merge the upstream
@@ -185,7 +197,7 @@ class SnapshotTable:
 
         # footer reads are independent filesystem ops — serial driver-side
         # reading was the measured bulk of the per-commit fixed cost
-        with ThreadPoolExecutor(min(16, max(1, len(found)))) as ex:
+        with ThreadPoolExecutor(min(32, max(1, len(found)))) as ex:
             return list(ex.map(entry, found))
 
     def _commit(
@@ -200,11 +212,14 @@ class SnapshotTable:
         # commit that sets none — e.g. a retention drop_partitions — must
         # not erase watermark_es, or the next pipeline run re-ingests from
         # scratch and double-counts retained partitions.
-        inherited = (
-            (self.manifest(parent) or {}).get("properties", {})
-            if parent is not None
-            else {}
+        parent_m = self.manifest(parent) if parent is not None else None
+        inherited = (parent_m or {}).get("properties", {})
+        # schema: from the files this commit wrote, else inherited (a
+        # metadata-only commit like drop_partitions keeps the parent's)
+        schema = getattr(self, "_pending_schema", None) or (parent_m or {}).get(
+            "schema"
         )
+        self._pending_schema = None
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -212,6 +227,8 @@ class SnapshotTable:
             "files": files,
             "properties": {**inherited, **(properties or {})},
         }
+        if schema is not None:
+            manifest["schema"] = schema
         mpath = os.path.join(self.path, "manifests", f"{sid}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -343,12 +360,20 @@ class SnapshotTable:
         never a torn or early commit."""
         sid, parent = self._next_sid()
         files = self._write_files(df, sid, partition_by, coalesce, stats_cols)
-        return {"sid": sid, "parent": parent, "files": files}
+        # carry the write-time schema in the handle: another write on this
+        # instance between stage and publish must not steal it
+        return {
+            "sid": sid,
+            "parent": parent,
+            "files": files,
+            "schema": getattr(self, "_pending_schema", None),
+        }
 
     def commit_staged(self, staged: dict, properties: dict | None = None) -> int:
         """Two-phase overwrite_all, phase 2: atomically publish files
         staged by :meth:`stage_all`."""
         self.last_commit_files = staged["files"]
+        self._pending_schema = staged.get("schema")
         return self._commit(
             staged["sid"], staged["files"], "overwrite_all", properties,
             staged["parent"],
@@ -645,6 +670,14 @@ class SnapshotTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        elif m.get("schema"):
+            # write-time schema from the manifest: the scan skips driver-side
+            # footer schema inference. Files from pre-widening commits (if
+            # any) read exactly as they would under mergeSchema: absent
+            # columns backfill NULL.
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
         df = reader.parquet(*[e["path"] for e in entries])
         for k in keys:
             df = df.withColumn(
