@@ -552,11 +552,19 @@ def decode_ints_lockstep(datas: list[bytes], ns: np.ndarray) -> np.ndarray:
     w[a0] = _u64_to_i64(
         _gather(bits, a0, np.full(len(a0), 64, dtype=np.int64), 6)
     )
+    # Fixed-width fields need no per-index walk at all: delta j of stream c
+    # sits at bit 70 + j*w_c, so EVERY delta of every stream gathers in one
+    # call (the previous per-point-index loop paid ~10 numpy dispatches per
+    # grid index). Sliced so the (points, width) gather temp stays bounded.
+    cnt = np.maximum(ns - 1, 0)
+    P = int(cnt.sum())
     d = np.zeros((C, max(max_n, 1)), dtype=np.int64)
-    for i in range(1, max_n):
-        act = rows[ns > i]
-        pos = 70 + (i - 1) * w[act]
-        d[act, i] = _unzigzag_vec(_gather(bits, act, pos, w[act]))
+    if P:
+        rep = np.repeat(rows, cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        j = np.arange(P, dtype=np.int64) - np.repeat(offs, cnt)
+        pos = 70 + j * w[rep]
+        d[rep, j + 1] = _unzigzag_vec(_gather(bits, rep, pos, w[rep]))
     out = np.cumsum(d, axis=1)
     out[a0] += v0[:, None]
     return out[:, :max_n]
@@ -626,33 +634,58 @@ def encode_timestamps_chunked(ts: np.ndarray, starts: np.ndarray) -> list[bytes]
 
 
 def _unpack_streams(datas: list[bytes]) -> np.ndarray:
-    """(C, max_bits) uint8 bit matrix, MSB-first per byte (the BitWriter's
-    order; np.unpackbits default bitorder='big' matches)."""
-    maxlen = max((len(d) for d in datas), default=0)
-    if maxlen == 0:
-        return np.zeros((len(datas), 8), dtype=np.uint8)
-    buf = np.zeros((len(datas), maxlen), dtype=np.uint8)
-    for i, d in enumerate(datas):
-        if d:
-            buf[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-    return np.unpackbits(buf, axis=1)
+    """(C, maxlen+9) uint8 BYTE matrix, zero-padded so any in-stream bit
+    field can be read through a 9-byte window (see :func:`_gather`).
+
+    Built with one join + one boolean scatter: a per-stream python loop
+    costs ~2 µs/stream, which dominated decode when a batch carries a
+    million ~10-point chunks (the fine-grained compressed tier)."""
+    C = len(datas)
+    lens = np.fromiter(map(len, datas), count=C, dtype=np.int64)
+    maxlen = int(lens.max(initial=0))
+    buf = np.zeros((C, maxlen + 9), dtype=np.uint8)
+    if maxlen:
+        whole = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        buf[:, :maxlen][mask] = whole
+    return buf
 
 
 def _gather(bits: np.ndarray, rows: np.ndarray, pos: np.ndarray, widths) -> np.ndarray:
     """Per-row big-endian bit-field gather: rows[i] reads widths[i] bits at
-    pos[i]. widths may be scalar or (len(rows),). Returns uint64 values."""
+    pos[i]. widths may be scalar or (len(rows),); each must be ≤ 64.
+    Returns uint64 values.
+
+    Implementation: load the 9-byte window covering [pos, pos+64+7), build
+    the aligned u64 with one byteswap view plus shifts — per-field cost is
+    width-INDEPENDENT (9 gathered bytes + a few vector ops), versus the
+    previous per-bit fancy-index gather whose (fields × width) index matrix
+    made wide fields ~170 ns/bit (measured 996 ms for 236k 25-bit fields;
+    this form is ~100× cheaper and also speeds every control-bit walk)."""
     if len(rows) == 0:
         return np.zeros(0, dtype=np.uint64)
     widths = np.broadcast_to(np.asarray(widths, dtype=np.int64), rows.shape)
-    wmax = int(widths.max())
-    j = np.arange(wmax)
-    idx = np.minimum(pos[:, None] + j[None, :], bits.shape[1] - 1)
-    g = bits[rows[:, None], idx].astype(np.uint64)
-    sh = widths[:, None] - 1 - j[None, :]
-    valid = sh >= 0
-    return (
-        (g << np.where(valid, sh, 0).astype(np.uint64)) * valid
-    ).sum(axis=1, dtype=np.uint64)
+    W = bits.shape[1]
+    off = np.minimum(pos >> 3, W - 9)
+    s = (pos & 7).astype(np.uint64)
+    # ONE u64 gather per field: a byte-strided u64 view over the flattened
+    # matrix reads the (unaligned) 8-byte window in a single fancy-index,
+    # vs 9 separate byte gathers (measured 690 ns/field that way on
+    # million-chunk batches). byteswap converts the little-endian load to
+    # the stream's big-endian bit order.
+    flat = bits.reshape(-1)
+    u64v = np.ndarray(
+        (flat.size - 7,), dtype="<u8", buffer=flat.data, strides=(1,)
+    )
+    base = rows * W + off
+    hi = u64v[base].byteswap()
+    lo = flat[base + 8].astype(np.uint64)
+    # x = the 64 bits starting at pos (top-aligned)
+    x = (hi << s) | (lo >> (np.uint64(8) - s))
+    # top `widths` bits of x; shift clamped to [0, 63] (width 64 → clamp to
+    # 0 is exact; width 0 → masked to 0)
+    sh = np.clip(64 - widths, 0, 63).astype(np.uint64)
+    return np.where(widths == 0, np.uint64(0), x >> sh)
 
 
 def _u64_to_i64(u: np.ndarray) -> np.ndarray:
