@@ -456,32 +456,88 @@ def frame_sample(
                 pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 buf = bytes(payload)
-                # walk the whole stream once (header parse per frame); the
-                # native frame interval comes from duration / frame count,
-                # and samples are taken at ts = 0, every_ms, 2·every_ms, …
-                # mapping each ts to its source frame — every_ms ≠ the
-                # stream's native spacing skips or repeats frames, exactly
-                # like ffmpeg -r resampling (the earlier walk emitted the
-                # first max_frames consecutive frames with fabricated
-                # timestamps, which was only correct when the stride
-                # happened to equal the native interval)
-                frames = []
-                pos = 0
-                while pos < len(buf):
-                    img, pos = decode_ppm(buf, pos)  # codec boundary
-                    frames.append(img)
-                n_total = len(frames)
+                # Samples map to source frames through the stream's native
+                # interval (duration / frame count) — every_ms ≠ the native
+                # spacing skips or repeats frames, exactly like ffmpeg -r
+                # resampling. Frame count comes from a uniform-tiling fast
+                # path when possible so only SAMPLED frames decode (the
+                # full walk decoded every frame of the stream per doc —
+                # O(total frames), the sf1 gate's hot spot): frame 0's
+                # decoded size must tile the payload exactly, and every
+                # sampled offset re-validates magic + dims + size, falling
+                # back to the sequential walk on any mismatch. Streams with
+                # varying frame sizes therefore still take the exact walk.
+                frames = None
+                fsz = 0
+                try:
+                    img0, fsz = decode_ppm(buf, 0)
+                    uniform = fsz > 0 and len(buf) % fsz == 0
+                except ValueError:
+                    uniform = False
+                    img0 = None
+                if uniform:
+                    n_total = len(buf) // fsz
+                else:
+                    # sequential walk (header parse per frame)
+                    frames = []
+                    pos = 0
+                    while pos < len(buf):
+                        img, pos = decode_ppm(buf, pos)  # codec boundary
+                        frames.append(img)
+                    n_total = len(frames)
                 if n_total == 0:
                     continue
                 dur = int(dur)
                 native = max(1, dur // n_total) if dur > 0 else stride
+                cache: dict[int, np.ndarray] = (
+                    {0: img0} if uniform and img0 is not None else {}
+                )
+
+                def frame_at(i: int) -> np.ndarray:
+                    if frames is not None:
+                        return frames[i]
+                    img = cache.get(i)
+                    if img is None:
+                        img, nxt = decode_ppm(buf, i * fsz)
+                        if nxt - i * fsz != fsz:
+                            raise ValueError(
+                                "non-uniform frame inside a stream that "
+                                "tiled uniformly at frame 0"
+                            )
+                        cache[i] = img
+                    return img
+
                 k = 0
                 while k < max_frames:
                     ts = k * stride
                     if k > 0 and dur > 0 and ts >= dur:
                         break
                     i = min(n_total - 1, ts // native)
-                    img = frames[i]
+                    try:
+                        img = frame_at(i)
+                    except ValueError:
+                        if frames is None:
+                            # fast-path misfire (pathological stream):
+                            # redo this doc with the exact walk
+                            frames = []
+                            pos = 0
+                            while pos < len(buf):
+                                img, pos = decode_ppm(buf, pos)
+                                frames.append(img)
+                            n_total = len(frames)
+                            native = (
+                                max(1, dur // n_total) if dur > 0 else stride
+                            )
+                            k = 0
+                            # drop anything emitted for this doc so far
+                            while out_doc and out_doc[-1] == doc_id:
+                                for lst in (
+                                    out_doc, out_idx, out_ts, out_pay,
+                                    out_w, out_h, segs, sizes,
+                                ):
+                                    lst.pop()
+                            continue
+                        raise
                     out_doc.append(doc_id)
                     out_idx.append(i)
                     out_ts.append(ts)

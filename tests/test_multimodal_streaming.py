@@ -268,3 +268,67 @@ def test_decode_wav_rejects_truncation_and_stereo():
     stereo[22:24] = (2).to_bytes(2, "little")  # fmt channels field
     with pytest.raises(ValueError, match="mono"):
         decode_wav(bytes(stereo))
+
+
+def test_frame_sample_long_stream_uniform_and_ragged(spark):
+    """The uniform-tiling fast path (decode only SAMPLED frames of a long
+    stream) must match the sequential walk exactly, and a ragged stream
+    (per-frame dims differ -> tiling check fails) must fall back to the
+    walk and stay correct."""
+    import pandas as pd
+
+    from kfts_insar_spark.operators.multimodal import MEDIA_SCHEMA
+
+    # uniform: 500 frames of 8x4, brightness ramp; only ~4 samples needed
+    n_frames, w, h = 500, 8, 4
+    base = np.arange(w * h * 3, dtype=np.int64) % 256
+    stream = b"".join(
+        encode_ppm(((base + j) % 256).astype(np.uint8).reshape(h, w, 3))
+        for j in range(n_frames)
+    )
+    # ragged: same frames but frame 1 has different dims (tiling check
+    # fails at len(buf) % frame0_size)
+    ragged = (
+        encode_ppm((base % 256).astype(np.uint8).reshape(h, w, 3))
+        + encode_ppm(
+            ((base[: w * h * 3 // 4] + 1) % 256)
+            .astype(np.uint8)
+            .reshape(h // 2, w // 2, 3)
+        )
+        + encode_ppm(((base + 2) % 256).astype(np.uint8).reshape(h, w, 3))
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [stream, ragged],
+            "media_type": ["video/x-ppm-stream"] * 2,
+            "meta": [
+                {"width": w, "height": h, "n_channels": 3,
+                 "duration_ms": n_frames * 100},  # native 100 ms
+                {"width": w, "height": h, "n_channels": 3,
+                 "duration_ms": 3000},  # native 1000 ms
+            ],
+        }
+    )
+    video = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    out = (
+        frame_sample(video, every_ms=1000, max_frames=4)
+        .toPandas()
+        .sort_values(["doc_id", "ts_ms"])
+    )
+    u = out[out["doc_id"] == 1]
+    # native interval 100 ms, stride 1000 ms -> source frames 0,10,20,30
+    assert list(u["frame_idx"]) == [0, 10, 20, 30]
+    for _, r in u.iterrows():
+        img, _ = decode_ppm(bytes(r["payload"]))
+        np.testing.assert_array_equal(
+            img.reshape(-1),
+            ((base + int(r["frame_idx"])) % 256).astype(np.uint8),
+        )
+        assert r["mean_intensity"] == img.mean()
+    g = out[out["doc_id"] == 2]
+    # ragged stream: 3 true frames over 3000 ms -> samples 0,1000,2000 map
+    # to source frames 0,1,2 via the sequential walk
+    assert list(g["frame_idx"]) == [0, 1, 2]
+    shapes = [decode_ppm(bytes(p))[0].shape for p in g["payload"]]
+    assert shapes == [(h, w, 3), (h // 2, w // 2, 3), (h, w, 3)]
