@@ -69,6 +69,14 @@ def get_spark(
         # partitioned tier writes (one dir per pday) commit O(files/tasks)
         # instead of O(files) on the driver
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # local file:// goes through Hadoop's ChecksumFileSystem by default,
+        # which writes (and renames) a .crc sidecar per output file — for
+        # tier commits fanning ~1600 one-file-per-day partitions that is
+        # ~1600 extra creates+renames per write (measured 25-30% of the
+        # partitioned-write wall). Parquet's own footer/magic validation
+        # covers integrity; cluster schemes (hdfs://, s3a://) are unaffected
+        # by this file://-only mapping.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
