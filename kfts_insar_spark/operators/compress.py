@@ -194,13 +194,23 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
     reader — variable-length codes are sequential within a stream but
     thousands of streams advance together."""
     schema = f"source string, bucket_es long, {value_name} double"
+    import pyarrow as pa
+
+    out_pa = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("bucket_es", pa.int64()),
+            pa.field(value_name, pa.float64()),
+        ]
+    )
 
     def unpack(it):
-        for pdf in it:
-            if not len(pdf):
+        for rb in it:
+            if rb.num_rows == 0:
                 continue
-            ns = pdf["n_points"].to_numpy(np.int64)
-            tc = [bytes(b) for b in pdf["ts_codec"]]
+            cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            ns = cols["n_points"].to_numpy().astype(np.int64)
+            tc = cols["ts_codec"].to_pylist()
             for c in tc:
                 if not c or c[0] not in _TS_TAGS:
                     raise ValueError(
@@ -230,7 +240,7 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
                 t0 = m[:, :1]
                 m = t0 + (m - t0) * g[:, None]
                 ts_mat[scl[:, None], np.arange(m.shape[1])[None, :]] = m
-            vc = [bytes(b) for b in pdf["val_codec"]]
+            vc = cols["val_codec"].to_pylist()
             for c in vc:
                 if not c or c[0] not in _VAL_TAGS:
                     raise ValueError(
@@ -252,12 +262,18 @@ def decompress_tier(comp: DataFrame, value_name: str = "value") -> DataFrame:
                 v_mat[ints[:, None], np.arange(m.shape[1])[None, :]] = m
             mask = np.arange(ts_mat.shape[1])[None, :] < ns[:, None]
             ridx, cidx = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "source": pdf["source"].to_numpy()[ridx],
-                    "bucket_es": ts_mat[ridx, cidx],
-                    value_name: v_mat[ridx, cidx],
-                }
+            # Arrow-native expansion: the source strings replicate through a
+            # C-level take on the incoming Arrow column instead of 10^7
+            # per-row python string objects through pandas
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.compute.take(
+                        cols["source"], pa.array(ridx, type=pa.int64())
+                    ),
+                    pa.array(ts_mat[ridx, cidx], type=pa.int64()),
+                    pa.array(v_mat[ridx, cidx], type=pa.float64()),
+                ],
+                schema=out_pa,
             )
 
-    return comp.mapInPandas(unpack, schema=schema)
+    return comp.mapInArrow(unpack, schema=schema)
