@@ -944,7 +944,7 @@ def kalman_gapfill_wide(
     cfg: KFConfig | None = None,
     emit_state: bool = False,
     wide_output: bool = True,
-    min_batch_docs: int = 2000,
+    min_batch_docs: int = 1000,
 ) -> DataFrame:
     """KF over the wide layout (doc_id, values: array<double>) — the hot
     path at scale. No shuffle, and the Arrow exchange moves one row per DOC
@@ -1060,8 +1060,7 @@ def kalman_gapfill_wide(
         buf: list[pa.RecordBatch] = []
         buffered = 0
 
-        def flush():
-            tbl = pa.Table.from_batches(buf)
+        def emit_slice(tbl: "pa.Table"):
             docs = tbl.column("doc_id")
             values = to_matrix(tbl.column("values"))
             res = kalman_direct_batch(values, t_grid, cfg)
@@ -1075,7 +1074,9 @@ def kalman_gapfill_wide(
 
             return pa.RecordBatch.from_arrays(
                 [
-                    docs.combine_chunks(),
+                    docs.combine_chunks()
+                    if isinstance(docs, pa.ChunkedArray)
+                    else docs,
                     lst(res["phase"].ravel(), pa.float64()),
                     lst(res["std"].ravel(), pa.float64()),
                     lst(res["innov"].ravel(), pa.float64()),
@@ -1084,16 +1085,28 @@ def kalman_gapfill_wide(
                 schema=out_pa,
             )
 
+        def flush():
+            # kernel batches are sized to min_batch_docs, not to whatever
+            # the scan's Arrow batching delivered: per-doc state/covariance
+            # buffers for ~1000 docs fit cache, and both smaller (dispatch-
+            # bound) and larger (cache-miss-bound) batches measured slower
+            # (B sweep: 1.35/1.49/1.56/1.43/1.28 M pts/s/core at
+            # B=250/500/1000/2000/4000). Docs are independent in the batch
+            # axis, so the split is value-exact.
+            tbl = pa.Table.from_batches(buf)
+            for s in range(0, tbl.num_rows, min_batch_docs):
+                yield emit_slice(tbl.slice(s, min_batch_docs))
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             buf.append(rb)
             buffered += rb.num_rows
             if buffered >= min_batch_docs:
-                yield flush()
+                yield from flush()
                 buf, buffered = [], 0
         if buffered:
-            yield flush()
+            yield from flush()
 
     return series_wide.mapInArrow(
         run_arrow,
