@@ -222,16 +222,6 @@ class TierPipeline:
                     "tier_raw", sid, new_wm, self.raw.manifest()["files"], n_raw
                 )
 
-        # ---- series tier for the KF stage (own watermark window, so a
-        # crash between the raw and series commits heals from `seq`);
-        # only needed when the KF stage runs
-        if self.run_gapfill:
-            with self._stage("ingest_series"):
-                self._ingest_series(
-                    spark, seq, new_wm, partial=partial, wm_partial=wm
-                )
-            partial.unpersist()
-
         result = {
             "status": "ok",
             "watermark_es": new_wm,
@@ -239,12 +229,17 @@ class TierPipeline:
             "snapshots": {"raw": sid},
         }
 
-        # ---- derived tiers and the KF gap-fill stage are independent given
-        # the committed raw + series tiers (1h/1d/compressed read raw; the
-        # KF stage reads series) — run them as concurrent Spark jobs so the
-        # per-stage fixed costs (plan compile + commit) overlap. The KF
-        # stage is the north_star core (Kalman predict/update state drives
-        # gap-fill of missing acquisition slots; reference update mode = T1).
+        # ---- after the raw commit, two independent chains remain:
+        # (a) the derived tiers (1h/1d/compressed) read the checkpointed raw
+        #     increment + the prior raw snapshot;
+        # (b) the series commit (from the persisted shard partials) followed
+        #     by the KF gap-fill stage that reads it.
+        # Run the chains as concurrent Spark jobs so their per-stage fixed
+        # costs (plan compile + commit) and their compute overlap — the
+        # series ingest previously serialized between the raw commit and the
+        # fork, costing its full wall on the critical path. The KF stage is
+        # the north_star core (Kalman predict/update state drives gap-fill
+        # of missing acquisition slots; reference update mode = T1).
         if self.run_gapfill and not os.environ.get("SPARK_GRAFT_SEQUENTIAL"):
             from concurrent.futures import ThreadPoolExecutor
 
@@ -254,19 +249,30 @@ class TierPipeline:
                         spark, days, new_wm, inc=raw_inc, prior_sid=prior_sid
                     )
 
-            def _timed_gap():
+            def _timed_series_gap():
+                with self._stage("ingest_series"):
+                    self._ingest_series(
+                        spark, seq, new_wm, partial=partial, wm_partial=wm
+                    )
+                partial.unpersist()
                 with self._stage("gapfill"):
                     return self._run_gapfill(spark, new_wm)
 
             with ThreadPoolExecutor(2) as ex:
                 f_tiers = ex.submit(_timed_tiers)
-                f_gap = ex.submit(_timed_gap)
+                f_gap = ex.submit(_timed_series_gap)
                 drows, dsids = f_tiers.result()
                 gres = f_gap.result()
             raw_inc.unpersist()
             result["rows"]["gapfilled"] = gres["n_rows"]
             result["snapshots"]["gapfilled"] = gres["snapshot_id"]
         else:
+            if self.run_gapfill:
+                with self._stage("ingest_series"):
+                    self._ingest_series(
+                        spark, seq, new_wm, partial=partial, wm_partial=wm
+                    )
+                partial.unpersist()
             with self._stage("derive_tiers"):
                 drows, dsids = self._derive_tiers(
                     spark, days, new_wm, inc=raw_inc, prior_sid=prior_sid
