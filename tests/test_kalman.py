@@ -712,3 +712,33 @@ def test_explode_handles_frames_without_emit0(spark):
     np.testing.assert_allclose(
         g["phase"].to_numpy(), ref["phase"][0], rtol=1e-9
     )
+
+
+def test_wide_kernel_batch_slicing_is_value_invariant(spark):
+    """The Arrow-path kernel slices its buffered input to min_batch_docs
+    (cache sizing); docs are independent along the batch axis, so any
+    slicing must yield identical results."""
+    from kfts_insar_spark.operators.kalman import (
+        KFConfig,
+        kalman_gapfill_wide,
+    )
+    from kfts_insar_spark.synth import series_wide
+
+    t = np.arange(30) * 12.0 / 365.25
+    cfg = KFConfig(model=[("POLY", 1)], sig_y=1.0, sig_i=0.5, sig_a=30.0, t_sep=4)
+    wide = series_wide(spark, 37, 30, partitions=2)
+
+    def canon(xs):
+        # NaN != NaN would fail equality even for identical outputs
+        return tuple(
+            "nan" if (x is not None and x != x) else x for x in xs
+        )
+
+    def rows(mbd):
+        out = kalman_gapfill_wide(wide, t, cfg, min_batch_docs=mbd).collect()
+        return sorted(
+            (r.doc_id, canon(r.phase), canon(r.std), canon(r.innov), tuple(r.gap))
+            for r in out
+        )
+
+    assert rows(7) == rows(1000)

@@ -140,3 +140,30 @@ def test_netcdf3_roundtrip_and_spark_scan(spark, tmp_path):
         read_var(open(tmp_path / "int.grd", "rb").read(), "nope")
     with _pt.raises(ValueError):
         read_var(b"\x89HDF" + b"\0" * 64, "z")
+
+
+def test_read_tolerates_manifest_without_schema(spark, tmp_path):
+    """Pre-upgrade manifests (no write-time schema recorded) must still
+    read via footer inference — the schema key is an optimization, not a
+    requirement."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kfts_insar_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("pday")
+    )
+    sid = t.append(df, partition_by=["pday"])
+    mpath = os.path.join(t.path, "manifests", f"{sid}.json")
+    m = json.load(open(mpath))
+    assert "schema" in m  # new manifests record it
+    m.pop("schema")
+    os.remove(mpath)
+    json.dump(m, open(mpath, "w"))
+    t._manifest_cache.clear()
+    got = t.read(spark)
+    assert got.count() == 10 and set(got.columns) == {"id", "pday"}
