@@ -18,6 +18,93 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# RawLocalFileSystem minus the per-path chmod: without the native hadoop
+# library (this environment has none — NativeCodeLoader warns), every file
+# and directory a local write creates goes through setPermission →
+# Shell.execCommand, i.e. a forked `chmod` PROCESS per path. Thread dumps
+# of a 1588-partition tier commit showed 23/32 writer threads inside that
+# fork at any instant; the write drops 2.8 s → 1.4 s with the no-op
+# (min-of-3, interleaved). The process umask already yields the intended
+# local modes, and cluster schemes (hdfs://, s3a://) never touch this
+# file:// mapping.
+_NOCHMOD_SRC = """
+package kfts;
+
+import java.io.IOException;
+import org.apache.hadoop.fs.Path;
+import org.apache.hadoop.fs.RawLocalFileSystem;
+import org.apache.hadoop.fs.permission.FsPermission;
+
+public class NoPermLocalFileSystem extends RawLocalFileSystem {
+    @Override
+    public void setPermission(Path p, FsPermission permission)
+            throws IOException {
+        // no-op: rely on the process umask (no native lib -> the default
+        // implementation forks a `chmod` shell process per path)
+    }
+}
+"""
+
+
+def _no_chmod_fs() -> tuple[str, str | None]:
+    """(fs.file.impl class name, extra driver classpath or None).
+
+    Compiles the subclass once into a cached jar; any failure (no javac,
+    no hadoop jar, read-only cache) falls back to the stock
+    RawLocalFileSystem, which is correct but pays the chmod forks."""
+    import glob
+    import hashlib
+    import shutil
+    import subprocess
+    import tempfile
+
+    fallback = ("org.apache.hadoop.fs.RawLocalFileSystem", None)
+    try:
+        tag = hashlib.md5(_NOCHMOD_SRC.encode()).hexdigest()[:10]
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "kfts_insar_spark"
+        )
+        jar = os.path.join(cache, f"nochmod_{tag}.jar")
+        if not os.path.exists(jar):
+            javac = shutil.which("javac")
+            jartool = shutil.which("jar")
+            if javac is None or jartool is None:
+                return fallback
+            import pyspark
+
+            cps = glob.glob(
+                os.path.join(
+                    os.path.dirname(pyspark.__file__),
+                    "jars",
+                    "hadoop-client-api-*.jar",
+                )
+            )
+            if not cps:
+                return fallback
+            os.makedirs(cache, exist_ok=True)
+            with tempfile.TemporaryDirectory(dir=cache) as td:
+                src = os.path.join(td, "kfts", "NoPermLocalFileSystem.java")
+                os.makedirs(os.path.dirname(src), exist_ok=True)
+                with open(src, "w") as f:
+                    f.write(_NOCHMOD_SRC)
+                subprocess.run(
+                    [javac, "-cp", cps[0], src],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                tmp_jar = os.path.join(td, "nochmod.jar")
+                subprocess.run(
+                    [jartool, "cf", tmp_jar, "-C", td, "kfts"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                os.replace(tmp_jar, jar)  # atomic vs concurrent builders
+        return ("kfts.NoPermLocalFileSystem", jar)
+    except Exception:
+        return fallback
+
 
 def get_spark(
     app_name: str = "kfts_insar_spark",
@@ -48,6 +135,8 @@ def get_spark(
 
     sp = shuffle_partitions or max(DEFAULT_SHUFFLE_PARTITIONS, n)
 
+    _fs_impl, _fs_jar = _no_chmod_fs()
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -75,12 +164,22 @@ def get_spark(
         # ~1600 extra creates+renames per write (measured 25-30% of the
         # partitioned-write wall). Parquet's own footer/magic validation
         # covers integrity; cluster schemes (hdfs://, s3a://) are unaffected
-        # by this file://-only mapping.
-        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # by this file://-only mapping. The mapped class additionally no-ops
+        # setPermission (see _no_chmod_fs — per-path chmod FORKS dominate
+        # many-partition writes without the native hadoop lib).
+        .config("spark.hadoop.fs.file.impl", _fs_impl)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    if _fs_jar is not None:
+        # the driver must be able to load the mapped class; merge with any
+        # caller-supplied classpath rather than clobbering it
+        user_cp = (extra_conf or {}).get("spark.driver.extraClassPath")
+        cp = _fs_jar if not user_cp else f"{_fs_jar}{os.pathsep}{user_cp}"
+        b = b.config("spark.driver.extraClassPath", cp)
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraClassPath" and _fs_jar is not None:
+            continue  # merged above
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
