@@ -522,16 +522,28 @@ class TierPipeline:
         import numpy as np
 
         _t_meta = time.perf_counter()
-        series_now = self.series.read(spark)
-        if series_now is None:
+        # existence from the manifest alone — building the full-table scan
+        # DataFrame costs a driver-side file-listing/py4j round trip that
+        # the resumed path (which reads only the pruned window below) never
+        # uses
+        m_series = self.series.manifest()
+        if m_series is None or not m_series["files"]:
             return {"n_rows": 0, "snapshot_id": self.gap.current_snapshot_id()}
+        series_now = None
         # grid bounds WITHOUT scanning the series history: hi is implied by
         # the run watermark (bucket_es = bucket(ingest_es) and wm is the
         # max ingest_es committed this run); lo is the committed grid
-        # origin. Only the very first run (no state yet) scans for the min.
+        # origin. Only the very first run (no state yet) scans for the min —
+        # and even that min comes from the manifest's footer stats when
+        # every file carries them (zero Spark jobs).
         lo = self.kf_state.property("grid_lo")
         if lo is None:
-            lo = series_now.agg(F.min("bucket_es")).first()[0]
+            stats = [e.get("stats", {}).get("bucket_es") for e in m_series["files"]]
+            if all(s is not None for s in stats):
+                lo = min(int(s[0]) for s in stats)
+            else:
+                series_now = self.series.read(spark)
+                lo = series_now.agg(F.min("bucket_es")).first()[0]
         lo = int(lo)
         hi = (int(wm) // RAW_SECONDS) * RAW_SECONDS
         m = int((hi - lo) // RAW_SECONDS) + 1
@@ -552,7 +564,6 @@ class TierPipeline:
         # A sub-series first appearing later (new source) has no earlier
         # data by construction, so the bound is lossless for cold starts
         # too. File-level pday pruning happens at the manifest.
-        scan = series_now
         if cover_min_step > 0:
             cover_es = lo + cover_min_step * RAW_SECONDS
             import datetime as dt
@@ -567,6 +578,12 @@ class TierPipeline:
                 stats_where=lambda s: "bucket_es" not in s
                 or int(s["bucket_es"][1]) >= int(cover_es),
             ).filter(F.col("bucket_es") >= F.lit(int(cover_es)))
+        else:
+            scan = (
+                series_now
+                if series_now is not None
+                else self.series.read(spark)
+            )
 
         # doc-wide SPARSE layout: one row per sub-series with sorted
         # (steps, vals) arrays — densified by O(n) numpy scatter inside the
